@@ -1,0 +1,50 @@
+"""chain kernel: bit-exact parity vs the compiled reference binary."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from genarchbench_tpu.kernels import chain as chain_mod
+from tests.synth import gen_chain_input
+
+
+def run_ref(binary, input_text, tmp_path):
+    inp = tmp_path / "in.txt"
+    out = tmp_path / "out_ref.txt"
+    inp.write_text(input_text)
+    r = subprocess.run([str(binary), "-i", str(inp), "-o", str(out)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return out.read_text()
+
+
+def run_ours(input_text, tmp_path):
+    inp = tmp_path / "in.txt"
+    out = tmp_path / "out_tpu.txt"
+    inp.write_text(input_text)
+    chain_mod.run(["-i", str(inp), "-o", str(out)])
+    return out.read_text()
+
+
+@pytest.mark.parametrize("seed,n_records,max_anchors,n_segs", [
+    (0, 10, 100, 1),
+    (1, 25, 400, 1),
+    (2, 8, 300, 2),
+])
+def test_chain_matches_reference(chain_ref, tmp_path, seed, n_records,
+                                 max_anchors, n_segs):
+    rng = np.random.default_rng(seed)
+    text = gen_chain_input(rng, n_records=n_records, max_anchors=max_anchors,
+                           n_segs=n_segs)
+    ref_out = run_ref(chain_ref, text, tmp_path)
+    our_out = run_ours(text, tmp_path)
+    assert our_out == ref_out
+
+
+def test_chain_empty_and_single(chain_ref, tmp_path):
+    rng = np.random.default_rng(7)
+    text = gen_chain_input(rng, n_records=3, max_anchors=2)
+    ref_out = run_ref(chain_ref, text, tmp_path)
+    our_out = run_ours(text, tmp_path)
+    assert our_out == ref_out
