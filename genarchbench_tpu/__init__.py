@@ -18,4 +18,19 @@ Layers (mirroring SURVEY.md §1 but TPU-first):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: kernel shapes recur across runs and the
+# first XLA compile of the DP loops is expensive (minutes via the remote
+# TPU compile path), so cache aggressively by default.
+if not _os.environ.get("GENARCH_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "GENARCH_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax"))
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from genarchbench_tpu.core.registry import get_kernel, list_kernels  # noqa: F401

@@ -1,0 +1,178 @@
+"""Bit-Parallel Myers (BPM) edit distance — TPU-native batched kernel.
+
+Reference semantics: bpm/edit/edit_bpm.c (`BPM_ADVANCE_BLOCK` :47-67,
+`edit_bpm_compute_matrix` :190-270): Myers' 1999 blocked bit-vector
+recurrence; the driver (tools/align_benchmark.c:444) reports the global
+edit distance of pattern (longer seq) vs text per pair.
+
+TPU-first design:
+  * 32-bit machine words instead of the reference's uint64 (TPUs are
+    int32-native); word size only changes blocking, never the distance.
+  * pairs are batched across VPU lanes: every bit-operation of the
+    advance-block recurrence is a (batch,)-wide uint32 op, the word loop
+    (W = ceil(plen/32), static per bucket) is unrolled, and the text loop
+    is a `lax.fori_loop`.
+  * Eq lookup (PEQ[text_char]) is a 4-way select instead of a gather.
+  * no score cutoff: the driver calls with max_distance = pattern_length
+    (benchmark/benchmark_edit.c:44-46) so the reference's block cutoff is
+    purely a CPU work-saving device; dense blocks give identical scores.
+
+Only the bit at each pair's last pattern row (top_mask) feeds the score,
+so per-pair pattern lengths inside one bucket are handled by masks.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genarchbench_tpu.core.roi import ROITimer
+from genarchbench_tpu.io.seqpair_io import SeqPairs, read_seqpairs
+from genarchbench_tpu.sharding.batching import next_pow2
+
+W32 = 32
+MSB = np.uint32(0x80000000)
+
+
+def compile_peq(patterns: Sequence[np.ndarray], W: int) -> np.ndarray:
+    """Host-side PEQ build: (B, W, 4) uint32 match-bit masks.
+
+    Padding rows (>= plen) are set for every character, mirroring
+    edit_bpm_pattern_compile (edit_bpm.c:108-116); they cannot influence
+    the score bit (carries only propagate upward) but keep parity.
+    """
+    B = len(patterns)
+    P = W * W32
+    codes = np.full((B, P), 4, np.uint8)
+    for i, p in enumerate(patterns):
+        codes[i, :len(p)] = p
+    pos = np.arange(P)
+    bits = (np.uint32(1) << (pos % W32).astype(np.uint32))
+    onehot = (codes[:, :, None] == np.arange(4, dtype=np.uint8)) | (codes[:, :, None] == 4)
+    contrib = np.where(onehot, bits[None, :, None], np.uint32(0))
+    return np.bitwise_or.reduce(
+        contrib.reshape(B, W, W32, 4), axis=2).astype(np.uint32)
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _bpm_distance_device(peq, plen, text, tlen, W):
+    """Batched Myers distance. peq (B,W,4) u32; text (B,T) i32; returns (B,) i32."""
+    B, T = text.shape
+    u32 = jnp.uint32
+    Pv0 = jnp.full((B, W), 0xFFFFFFFF, u32)
+    Mv0 = jnp.zeros((B, W), u32)
+    top_mask = (jnp.ones(B, u32) << ((plen - 1) % W32).astype(u32))
+
+    def step(t, carry):
+        Pv, Mv, score = carry
+        tc = text[:, t]
+        valid = t < tlen
+        # Eq via 4-way select (VPU-friendly; avoids per-lane gather)
+        def eq_of(w):
+            cols = peq[:, w, :]
+            return jnp.where(tc == 0, cols[:, 0],
+                   jnp.where(tc == 1, cols[:, 1],
+                   jnp.where(tc == 2, cols[:, 2],
+                   jnp.where(tc == 3, cols[:, 3], jnp.zeros(B, u32)))))
+
+        PHin = jnp.ones(B, u32)
+        MHin = jnp.zeros(B, u32)
+        newPv, newMv = [], []
+        delta = None
+        for w in range(W):
+            Eq = eq_of(w)
+            pv, mv = Pv[:, w], Mv[:, w]
+            Xv = Eq | mv
+            _Eq = Eq | MHin
+            Xh = (((_Eq & pv) + pv) ^ pv) | _Eq
+            Ph = mv | ~(Xh | pv)
+            Mh = pv & Xh
+            mask = top_mask if w == W - 1 else MSB
+            PHout = ((Ph & mask) != 0)
+            MHout = ((Mh & mask) != 0)
+            if w == W - 1:
+                delta = PHout.astype(jnp.int32) - MHout.astype(jnp.int32)
+            Ph = (Ph << 1) | PHin
+            Mh = (Mh << 1) | MHin
+            newPv.append(Mh | ~(Xv | Ph))
+            newMv.append(Ph & Xv)
+            PHin = PHout.astype(u32)
+            MHin = MHout.astype(u32)
+        Pv = jnp.stack(newPv, axis=1)
+        Mv = jnp.stack(newMv, axis=1)
+        score = score + jnp.where(valid, delta, 0)
+        return (Pv, Mv, score)
+
+    _, _, score = jax.lax.fori_loop(0, T, step, (Pv0, Mv0, plen.astype(jnp.int32)))
+    return score
+
+
+def bpm_batch(pairs: SeqPairs, max_batch: int = 8192) -> np.ndarray:
+    """Edit distance for every pair; returns (n,) int32 in input order."""
+    n = len(pairs)
+    out = np.zeros(n, np.int32)
+    # bucket by (word count, padded text length)
+    buckets = defaultdict(list)
+    for i in range(n):
+        W = max(1, -(-len(pairs.patterns[i]) // W32))
+        T = next_pow2(max(len(pairs.texts[i]), 1), 16)
+        buckets[(W, T)].append(i)
+    for (W, T), idxs in sorted(buckets.items()):
+        for lo in range(0, len(idxs), max_batch):
+            chunk = idxs[lo:lo + max_batch]
+            B = next_pow2(len(chunk), 8)
+            pats = [pairs.patterns[i] for i in chunk]
+            pats += [np.zeros(1, np.uint8)] * (B - len(chunk))
+            peq = compile_peq(pats, W)
+            plen = np.array([len(p) for p in pats], np.int32)
+            text = np.zeros((B, T), np.int32)
+            tlen = np.zeros(B, np.int32)
+            for b, i in enumerate(chunk):
+                t = pairs.texts[i]
+                text[b, :len(t)] = t
+                tlen[b] = len(t)
+            score = np.asarray(_bpm_distance_device(peq, plen, text, tlen, W))
+            out[chunk] = score[:len(chunk)]
+    return out
+
+
+def cell_updates(pairs: SeqPairs) -> int:
+    return sum(len(p) * len(t) for p, t in zip(pairs.patterns, pairs.texts))
+
+
+def run(argv: Sequence[str]) -> int:
+    """CLI compatible with the reference align_benchmark (bpm):
+    -a bpm-edit -i input -o output -t threads."""
+    import argparse
+    p = argparse.ArgumentParser(prog="bpm")
+    p.add_argument("-a", dest="algorithm", default="bpm-edit")
+    p.add_argument("-i", dest="input", required=True)
+    p.add_argument("-o", dest="output", default=None)
+    p.add_argument("-t", dest="threads", type=int, default=1)
+    args = p.parse_args(argv)
+
+    pairs = read_seqpairs(args.input, swap_longer_first=True)
+    roi = ROITimer("bpm", "=> Time.Benchmark      {t:.2f} s")
+    with roi:
+        scores = bpm_batch(pairs)
+        roi.sync(scores)
+    print("[Benchmark]", file=sys.stderr)
+    print(f"=> Total.reads            {len(pairs)}", file=sys.stderr)
+    roi.report()
+
+    if args.output:
+        # the reference prints the negated edit distance: benchmark_edit_bpm
+        # returns -edit_cigar_score_edit (benchmark/benchmark_edit.c:49)
+        with open(args.output, "w") as f:
+            f.writelines(f"[{i}] score={-s}\n" for i, s in enumerate(scores))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run(sys.argv[1:]))
