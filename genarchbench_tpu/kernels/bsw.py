@@ -1,0 +1,369 @@
+"""Banded affine-gap Smith-Waterman (BWA-MEM2 seed extension) — TPU-native.
+
+Reference semantics: the int16 vector path the benchmark actually runs
+(bsw/src/bandedSWA.cpp: getScores16 :3478, smithWatermanBatchWrapper16
+:3510-3760, smithWaterman128_16 :3766-4150, MAIN_CODE16 :3396), including
+its adaptive per-lane head/tail band, group-shared beg/end narrowing,
+z-drop (the vector variant WITHOUT the e_del/e_ins scaling of the scalar
+code), per-row early exits, and the SORT_PAIRS=1 batch pipeline
+(counting-sort by reference length, groups of SIMD width, re-sort by id).
+
+TPU-first design:
+  * the reference vectorizes 8 pairs across SSE lanes and loops serially
+    over DP cells; here a whole (groups, 8, columns) tensor advances one
+    row per step — every op is a full VPU tile, and the only sequential
+    dimension is the row loop.
+  * the in-row E-gap chain e' = max(m - oe_ins, e - e_ins) is a max-plus
+    prefix scan; it is computed for all columns at once with
+    `lax.associative_scan` on m + j*e_ins (log-depth instead of serial).
+  * the reference's early-break scalar loops (band trimming, head/tail
+    zero-run scans, beg/end narrowing) become masked reductions (argmin /
+    argmax of zero-runs), preserving their exact break semantics.
+  * groups stay 8 lanes wide (SIMD_WIDTH16) so the group-shared band
+    state matches the reference bit-for-bit.
+
+int16 wraparound never occurs for valid inputs (scores < 2^15), so the
+kernel computes in int32, the TPU's native integer width.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from genarchbench_tpu.core.roi import ROITimer
+from genarchbench_tpu.io.bsw_io import BswPairs, read_bsw_pairs, DUMMY1, DUMMY2
+from genarchbench_tpu.sharding.batching import next_pow2
+
+LANES = 8            # SIMD_WIDTH16 of the reference SSE2 build
+NEG = -(1 << 28)
+AMBIG_SENTINEL = 0xFFFF
+
+
+def fill_scmat(match: int, mismatch: int, ambig: int):
+    """Default BWA scoring (main_banded.cpp:95-102): +match / -mismatch,
+    ambig for any pairing with an ambiguous base."""
+    return match, -mismatch, ambig
+
+
+@partial(jax.jit, static_argnames=(
+    "R", "match", "mismatch", "ambig",
+    "o_del", "e_del", "o_ins", "e_ins", "zdrop", "w"))
+def _bsw_device(seq1, seq2, len1, len2, h0, myband,
+                R, match, mismatch, ambig,
+                o_del, e_del, o_ins, e_ins, zdrop, w):
+    """Batched banded SW. seq1 (G,L,R), seq2 (G,L,C2) int32 (DUMMY-padded,
+    ambig bases = 0xFFFF); len1/len2/h0/myband (G,L) int32.
+    Returns (score, tle, qle, max_off, gscore, gtle) each (G,L) int32."""
+    G, L, C2 = seq2.shape
+    i32 = jnp.int32
+    oe_ins = o_ins + e_ins
+    oe_del = o_del + e_del
+
+    cols = lax.broadcasted_iota(i32, (1, 1, C2), 2)           # column index
+    nrow = jnp.max(len1, axis=1)                              # (G,)
+    ncol = jnp.max(len2, axis=1)                              # (G,)
+    qlen = len2
+    mlen = jnp.minimum(qlen + myband, len1)
+    ncol3 = ncol[:, None, None]
+
+    h0_3 = h0[:, :, None]
+    # H row-0 boundary (wrapper :3680-3694): H[0]=h0, H[k]=max(h0-oe_ins-(k-1)e_ins,0)
+    H_h = jnp.where(cols == 0, h0_3,
+                    jnp.maximum(h0_3 - oe_ins - (cols - 1) * e_ins, 0))
+    H_h = jnp.where(cols < ncol3, H_h, 0).astype(i32) * jnp.ones((G, L, 1), i32)
+    F = jnp.zeros((G, L, C2), i32)
+
+    state = dict(
+        H_h=H_h, F=F,
+        head=jnp.zeros((G, L), i32), tail=qlen.astype(i32),
+        exit0=jnp.ones((G, L), bool),
+        maxScore=h0.astype(i32),
+        x=jnp.zeros((G, L), i32), y=jnp.zeros((G, L), i32),
+        max_off=jnp.zeros((G, L), i32),
+        gscore=jnp.full((G, L), -1, i32),
+        max_ie=jnp.zeros((G, L), i32),
+        beg=jnp.zeros((G,), i32), end=ncol.astype(i32),
+        nbeg=jnp.zeros((G,), i32), nend=ncol.astype(i32),
+        alive=jnp.ones((G,), bool),
+    )
+
+    def row(i, st):
+        H_h, F = st["H_h"], st["F"]
+        head, tail, exit0 = st["head"], st["tail"], st["exit0"]
+        act_g = st["alive"] & (i < nrow)                       # (G,)
+        act3 = act_g[:, None, None]
+        act2 = act_g[:, None]
+
+        # group-shared banding (kernel :3846-3852)
+        beg = jnp.maximum(st["nbeg"], i - w)
+        end = jnp.minimum(jnp.minimum(st["nend"], i + w + 1), ncol)
+        beg3 = beg[:, None, None]
+        end3 = end[:, None, None]
+
+        # per-lane adaptive band head/tail (kernel :3866-3876)
+        phead, ptail = head, tail
+        head = jnp.where(act2, jnp.maximum(head, i - myband), head)
+        tail = jnp.where(act2, jnp.minimum(jnp.minimum(tail, i + 1 + myband), qlen), tail)
+
+        # band-trim zeroing loop (kernel :3878-3902): runs only if any lane
+        # changed, over l in [beg, min(end, max(head))), zeroing cells with
+        # head>l or l>=tail
+        changed = jnp.any((head != phead) | (tail != ptail), axis=1)   # (G,)
+        maxhead = jnp.max(head, axis=1)                                # (G,)
+        zrange = (cols >= beg3) & (cols < jnp.minimum(end3, maxhead[:, None, None]))
+        zcond = zrange & ((head[:, :, None] > cols) | (cols + 1 > tail[:, :, None]))
+        zcond = zcond & changed[:, None, None] & act3
+        H_h = jnp.where(zcond, 0, H_h)
+        F = jnp.where(zcond, 0, F)
+
+        # per-lane exit conditions (kernel :3906-3915)
+        dead = (i + 1 > mlen) | (tail == head) | (head > tail)
+        exit0 = jnp.where(act2, exit0 & ~dead, exit0)
+
+        # ---- whole-row DP (kernel j-loop :3921-3993 vectorized) ----
+        s1 = seq1[:, :, i][:, :, None]                          # (G,L,1)
+        s2 = seq2
+        sbt = jnp.where(s1 == s2, match, mismatch)
+        sbt = jnp.where(jnp.maximum(s1, s2) == AMBIG_SENTINEL, ambig, sbt)
+        h00 = H_h
+        m11 = jnp.where(h00 == 0, 0, h00 + sbt)
+
+        jmask = (cols >= beg3) & (cols < end3)
+        # E chain: e' = max(max(m - oe_ins, 0), e - e_ins), e(beg) = 0
+        A = jnp.maximum(m11 - oe_ins, 0)
+        B = jnp.where(jmask, A + cols * e_ins, NEG)
+        S_inc = lax.associative_scan(jnp.maximum, B, axis=2)
+        S_exc = jnp.concatenate(
+            [jnp.full((G, L, 1), NEG, i32), S_inc[:, :, :-1]], axis=2)
+        e11 = jnp.where(cols == beg3, 0, S_exc - (cols - 1) * e_ins)
+        e11 = jnp.maximum(e11, NEG // 2)
+
+        f11 = F
+        h11 = jnp.maximum(jnp.maximum(m11, e11), f11)
+        f21 = jnp.maximum(jnp.maximum(m11 - oe_del, 0), f11 - e_del)
+
+        # masked stores: H_h[j] = h11[j-1] (boundary h10 at j=beg), zeroed
+        # outside [head, tail]; F[j] = f21 with the same zeroing
+        h10_init = jnp.where(beg[:, None] == 0,
+                             jnp.maximum(h0 - o_del - (i + 1) * e_del, 0),
+                             0).astype(i32)
+        sh = jnp.concatenate([jnp.zeros((G, L, 1), i32), h11[:, :, :-1]], axis=2)
+        sh = jnp.where(cols == beg3, h10_init[:, :, None], sh)
+        zstore = (head[:, :, None] > cols) | (cols > tail[:, :, None])
+        wmask = jmask & act3
+        H_h = jnp.where(wmask, jnp.where(zstore, 0, sh), H_h)
+        F = jnp.where(wmask, jnp.where(zstore, 0, f21), F)
+        # trailing store at j=end (kernel :3994-3995): raw h11[end-1] (or the
+        # boundary value if the band was empty), F[end]=0
+        idx_end = jnp.maximum(end - 1, 0)[:, None, None]
+        h_endval = jnp.take_along_axis(h11, jnp.broadcast_to(idx_end, (G, L, 1)),
+                                       axis=2)[:, :, 0]
+        h_endval = jnp.where((end > beg)[:, None], h_endval, h10_init)
+        endmask = (cols == end3) & act3
+        H_h = jnp.where(endmask, h_endval[:, :, None], H_h)
+        F = jnp.where(endmask, 0, F)
+
+        # row max + its (last) column, restricted to j < tail (kernel :3958-3969)
+        mmask = jmask & (cols < tail[:, :, None])
+        hm = jnp.where(mmask, h11, NEG)
+        maxRS = jnp.maximum(jnp.max(hm, axis=2), 0)             # (G,L)
+        qual = mmask & (h11 == maxRS[:, :, None])
+        y1 = jnp.max(jnp.where(qual, cols + 1, 0), axis=2)      # (G,L)
+
+        # gscore at each lane's last query column (kernel :3975-3993)
+        qidx = jnp.maximum(qlen - 1, 0)[:, :, None]
+        h11q = jnp.take_along_axis(h11, qidx, axis=2)[:, :, 0]
+        gupd = act2 & (qlen - 1 >= beg[:, None]) & (qlen - 1 < end[:, None]) \
+            & exit0 & (qlen <= tail)
+        gscore, max_ie = st["gscore"], st["max_ie"]
+        max_ie = jnp.where(gupd & ~(gscore > h11q), i + 1, max_ie)
+        gscore = jnp.where(gupd, jnp.maximum(gscore, h11q), gscore)
+
+        # whole-group zero row => break before the post-row updates
+        # (kernel :3999-4003)
+        allzero = jnp.all(maxRS == 0, axis=1) & act_g           # (G,)
+        alive = st["alive"] & ~allzero
+        post = act_g & ~allzero
+        post2 = post[:, None]
+
+        exit0 = jnp.where(post2 & (maxRS == 0), False, exit0)
+        bmax = st["maxScore"]
+        maxScore = jnp.where(post2 & exit0, jnp.maximum(bmax, maxRS), bmax)
+        inc = post2 & (maxScore > bmax)
+        x = jnp.where(inc, i + 1, st["x"])
+        y = jnp.where(inc, y1, st["y"])
+        off = jnp.abs(y1 - (i + 1))
+        max_off = jnp.where(inc, jnp.maximum(st["max_off"], off), st["max_off"])
+        # z-drop, vector variant (ZSCORE16 :3380-3394: no gap-extension scaling)
+        tmpi = (i + 1) - x
+        tmpj = y1 - y
+        zd = (maxScore - maxRS) - jnp.abs(tmpi - tmpj)
+        exit0 = jnp.where(post2 & (zd > zdrop), False, exit0)
+
+        # ---- band narrowing from the zero structure of F|H ----
+        FH0 = (F == 0) & (H_h == 0)                              # (G,L,C2)
+        allz = jnp.all(FH0, axis=1)                              # (G,C2)
+        colsg = cols[0]                                          # (1,C2)
+        begg = beg[:, None]
+        endg = end[:, None]
+        # nbeg: leading all-zero run over [beg, end) (kernel :4015-4027)
+        rng = (colsg >= begg) & (colsg < endg)
+        first_not = jnp.min(jnp.where(rng & ~allz, colsg, 1 << 28), axis=1)
+        c_lead = jnp.minimum(first_not, end) - beg
+        nbeg = jnp.where(post & (c_lead >= 1), beg + c_lead - 1, st["nbeg"])
+        # nend: first non-all-zero from the top of [beg, end] (kernel :4029-4040)
+        rng2 = (colsg >= begg) & (colsg <= endg)
+        l_stop = jnp.max(jnp.where(rng2 & ~allz, colsg, -1), axis=1)
+        l_stop = jnp.maximum(l_stop, beg - 1)
+        nend = jnp.where(post, jnp.minimum(l_stop + 2, ncol), st["nend"])
+        # head: per-lane leading zero-run among active lanes (kernel :4044-4070)
+        zeroact = FH0 & exit0[:, :, None]
+        rng3 = (cols >= beg3) & (cols < end3)
+        fnl = jnp.min(jnp.where(rng3 & ~zeroact, cols, 1 << 28), axis=2)
+        run = jnp.minimum(fnl, end[:, None]) - beg[:, None]
+        head = jnp.where(post2 & (run >= 1), beg[:, None] + run, head)
+        # tail: per-lane trailing zero-run over [beg, end] (kernel :4074-4110)
+        rng4 = (cols >= beg3) & (cols <= end3)
+        lnq = jnp.max(jnp.where(rng4 & ~zeroact, cols, -1), axis=2)
+        lnq = jnp.maximum(lnq, beg[:, None] - 1)
+        run5 = end[:, None] - lnq
+        index = jnp.where(run5 >= 1, lnq, tail)
+        tail = jnp.where(post2, jnp.minimum(index + 2, qlen), tail)
+
+        return dict(H_h=H_h, F=F, head=head, tail=tail, exit0=exit0,
+                    maxScore=maxScore, x=x, y=y, max_off=max_off,
+                    gscore=gscore, max_ie=max_ie,
+                    beg=beg, end=end, nbeg=nbeg, nend=nend, alive=alive)
+
+    st = lax.fori_loop(0, R, row, state)
+    return (st["maxScore"], st["x"], st["y"], st["max_off"],
+            st["gscore"], st["max_ie"])
+
+
+def _myband(len2: np.ndarray, match: int, end_bonus: int,
+            o_ins: int, e_ins: int, o_del: int, e_del: int, w: int) -> np.ndarray:
+    """Per-pair band limit (wrapper :3696-3718, double math, int16 temps)."""
+    qlen = (len2 * match).astype(np.int64)
+    t1 = (qlen + (end_bonus - o_ins)).astype(np.uint16).astype(np.float64)
+    mi = np.maximum((t1 / e_ins + 1.0).astype(np.int64), 1)
+    band = np.minimum(w, mi)
+    t2 = (qlen + (end_bonus - o_del)).astype(np.uint16).astype(np.float64)
+    md = np.maximum((t2 / e_del + 1.0).astype(np.int64), 1)
+    return np.minimum(band, md).astype(np.int32)
+
+
+def bsw_batch(pairs: BswPairs, batch_size: int = 512,
+              match: int = 1, mismatch: int = 4, ambig: int = -1,
+              o_del: int = 6, e_del: int = 1, o_ins: int = 6, e_ins: int = 1,
+              zdrop: int = 100, w: int = 100, end_bonus: int = 5) -> np.ndarray:
+    """Scores for all pairs in input order, replicating the reference's
+    batch -> sort-by-len1 -> groups-of-8 pipeline."""
+    n = len(pairs)
+    _, mis, amb = fill_scmat(match, mismatch, ambig)
+    scores = np.zeros(n, np.int32)
+    if batch_size <= 0:
+        batch_size = ((n + LANES - 1) // LANES) * LANES
+
+    for b0 in range(0, n, batch_size):
+        idx = np.arange(b0, min(b0 + batch_size, n))
+        len1 = np.array([len(pairs.refs[i]) for i in idx], np.int32)
+        len2 = np.array([len(pairs.quers[i]) for i in idx], np.int32)
+        h0 = pairs.h0[idx]
+        nb = len(idx)
+        nround = ((nb + LANES - 1) // LANES) * LANES
+        pad = nround - nb
+        len1p = np.concatenate([len1, np.zeros(pad, np.int32)])
+        len2p = np.concatenate([len2, np.zeros(pad, np.int32)])
+        h0p = np.concatenate([h0, np.zeros(pad, np.int32)])
+        srcp = np.concatenate([idx, np.full(pad, -1)])
+        order = np.argsort(len1p, kind="stable")                # counting sort
+        g_of = order.reshape(-1, LANES)
+
+        # bucket groups by padded (nrow, ncol) to bound compiled shapes
+        buckets = defaultdict(list)
+        for g, members in enumerate(g_of):
+            r = next_pow2(max(int(len1p[members].max()), 1), 16)
+            c = next_pow2(max(int(len2p[members].max()), 1), 16)
+            buckets[(r, c)].append(g)
+
+        myband = _myband(len2p, match, end_bonus, o_ins, e_ins, o_del, e_del, w)
+
+        for (R, C), groups in sorted(buckets.items()):
+            G = len(groups)
+            C2 = C + 1
+            s1 = np.full((G, LANES, R), DUMMY1, np.int32)
+            s2 = np.full((G, LANES, C2), DUMMY2, np.int32)
+            L1 = np.zeros((G, LANES), np.int32)
+            L2 = np.zeros((G, LANES), np.int32)
+            H0 = np.zeros((G, LANES), np.int32)
+            MB = np.zeros((G, LANES), np.int32)
+            for gi, g in enumerate(groups):
+                for li, m in enumerate(g_of[g]):
+                    src = srcp[m]
+                    L1[gi, li] = len1p[m]
+                    L2[gi, li] = len2p[m]
+                    H0[gi, li] = h0p[m]
+                    MB[gi, li] = myband[m]
+                    if src >= 0:
+                        s1[gi, li, :len1p[m]] = pairs.refs[src]
+                        s2[gi, li, :len2p[m]] = pairs.quers[src]
+            out = _bsw_device(s1, s2, L1, L2, H0, MB, R=R,
+                              match=match, mismatch=mis, ambig=amb,
+                              o_del=o_del, e_del=e_del, o_ins=o_ins,
+                              e_ins=e_ins, zdrop=zdrop, w=w)
+            sc = np.asarray(out[0])
+            for gi, g in enumerate(groups):
+                for li, m in enumerate(g_of[g]):
+                    src = srcp[m]
+                    if src >= 0:
+                        scores[src] = sc[gi, li]
+    return scores
+
+
+def cell_updates(pairs: BswPairs, w: int = 100) -> int:
+    """Banded DP cells (2w+1 band, like the reference's numCellsComputed)."""
+    return sum(min(2 * w + 1, len(q)) * len(r)
+               for r, q in zip(pairs.refs, pairs.quers))
+
+
+def run(argv: Sequence[str]) -> int:
+    """CLI compatible with the reference bsw binary (main_banded.cpp:222):
+    -pairs file [-t n] [-b batch] [-match/-mismatch/-gapo/-gape/-ambig/-h0]."""
+    import argparse
+    p = argparse.ArgumentParser(prog="bsw", prefix_chars="-")
+    p.add_argument("-pairs", dest="pairs", required=True)
+    p.add_argument("-t", dest="threads", type=int, default=1)
+    p.add_argument("-b", dest="batch", type=int, default=0)
+    p.add_argument("-match", type=int, default=1)
+    p.add_argument("-mismatch", type=int, default=4)
+    p.add_argument("-gapo", type=int, default=6)
+    p.add_argument("-gape", type=int, default=1)
+    p.add_argument("-ambig", type=int, default=-1)
+    args = p.parse_args(argv)
+
+    pairs = read_bsw_pairs(args.pairs)
+    print(f"Number of input pairs: {len(pairs)}")
+    roi = ROITimer("bsw", "Overall SW cycles = 0, {t:.2f} s")
+    with roi:
+        scores = bsw_batch(pairs, batch_size=args.batch,
+                           match=args.match, mismatch=args.mismatch,
+                           ambig=args.ambig, o_del=args.gapo, e_del=args.gape,
+                           o_ins=args.gapo, e_ins=args.gape)
+        roi.sync(scores)
+    for i, s in enumerate(scores):
+        print(f"[{i}] score={s}", file=sys.stderr)
+    roi.report(file=sys.stdout)
+    print(f"Total Pairs processed: {len(pairs)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run(sys.argv[1:]))

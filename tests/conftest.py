@@ -33,7 +33,7 @@ sys.path.insert(0, str(REPO))
 _BUILD_CMDS = {
     "chain_ref": "g++ -O2 -fopenmp -I {ref}/chain/src -o {out} {ref}/chain/src/main.cpp {ref}/chain/src/host_data_io.cpp {ref}/chain/src/host_kernel.cpp",
     "fastchain_ref": "g++ -O2 -fopenmp -I {ref}/fast-chain/src -o {out} {ref}/fast-chain/src/main.cpp {ref}/fast-chain/src/host_data_io.cpp {ref}/fast-chain/src/host_kernel.cpp",
-    "bsw_ref": "g++ -O2 -fopenmp -msse4.1 -I {ref}/bsw/src -o {out} {ref}/bsw/src/main_banded.cpp {ref}/bsw/src/bandedSWA.cpp",
+    "bsw_ref": "g++ -O2 -fopenmp -msse4.1 -DENABLE_PREFETCH -DBWA_OTHER_ELE=0 -DSORT_PAIRS=1 -I {ref}/bsw/src -o {out} {ref}/bsw/src/main_banded.cpp {ref}/bsw/src/bandedSWA.cpp",
     "bpm_ref": "gcc -O2 -fopenmp -I {ref}/bpm -o {out} $(find {ref}/bpm -name '*.c' | grep -v generate_datasets) -lm",
     "wfa_ref": "gcc -O2 -fopenmp -I {ref}/wfa -o {out} $(find {ref}/wfa -name '*.c' | grep -v generate_dataset) -lm",
 }

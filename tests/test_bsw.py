@@ -1,0 +1,50 @@
+"""bsw kernel: score parity vs the compiled reference binary (SSE2 vector
+path with SORT_PAIRS=1, exactly like the benchmark build)."""
+
+import re
+import subprocess
+
+import numpy as np
+import pytest
+
+from genarchbench_tpu.kernels import bsw as bsw_mod
+from genarchbench_tpu.io.bsw_io import read_bsw_pairs
+from tests.synth import gen_bsw_input
+
+
+def ref_scores(binary, input_text, tmp_path, batch=512):
+    inp = tmp_path / "pairs.txt"
+    inp.write_text(input_text)
+    r = subprocess.run([str(binary), "-pairs", str(inp), "-t", "1",
+                        "-b", str(batch)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    return [ln for ln in r.stderr.splitlines() if re.match(r"\[\d+\] score=", ln)]
+
+
+def our_scores(input_text, tmp_path, batch=512):
+    inp = tmp_path / "pairs.txt"
+    inp.write_text(input_text)
+    pairs = read_bsw_pairs(str(inp))
+    scores = bsw_mod.bsw_batch(pairs, batch_size=batch)
+    return [f"[{i}] score={s}" for i, s in enumerate(scores)]
+
+
+@pytest.mark.parametrize("seed,n,rlen,qlen,err", [
+    (0, 64, 200, 100, 0.10),
+    (1, 128, 300, 120, 0.25),
+    (2, 48, 120, 100, 0.05),
+])
+def test_bsw_matches_reference(bsw_ref, tmp_path, seed, n, rlen, qlen, err):
+    rng = np.random.default_rng(seed)
+    text = gen_bsw_input(rng, n_pairs=n, ref_len=rlen, query_len=qlen,
+                         error_rate=err)
+    assert our_scores(text, tmp_path) == ref_scores(bsw_ref, text, tmp_path)
+
+
+def test_bsw_small_batches(bsw_ref, tmp_path):
+    """batch smaller than pair count exercises the per-batch sort/group path"""
+    rng = np.random.default_rng(5)
+    text = gen_bsw_input(rng, n_pairs=64, ref_len=250, query_len=100,
+                         error_rate=0.15)
+    assert (our_scores(text, tmp_path, batch=16)
+            == ref_scores(bsw_ref, text, tmp_path, batch=16))
