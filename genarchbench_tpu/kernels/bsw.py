@@ -60,7 +60,8 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
                 R, match, mismatch, ambig,
                 o_del, e_del, o_ins, e_ins, zdrop, w):
     """Batched banded SW. seq1 (G,L,R), seq2 (G,L,C2) int32 (DUMMY-padded,
-    ambig bases = 0xFFFF); len1/len2/h0/myband (G,L) int32.
+    ambig bases = 0xFFFF); len1/len2/h0/myband (G,L) int32.  C2 is sized a
+    multiple of 128 (exact VPU lane tiles) and must exceed every len2.
     Returns (score, tle, qle, max_off, gscore, gtle) each (G,L) int32."""
     G, L, C2 = seq2.shape
     i32 = jnp.int32
@@ -260,71 +261,78 @@ def _myband(len2: np.ndarray, match: int, end_bonus: int,
     return np.minimum(band, md).astype(np.int32)
 
 
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
 def bsw_batch(pairs: BswPairs, batch_size: int = 512,
               match: int = 1, mismatch: int = 4, ambig: int = -1,
               o_del: int = 6, e_del: int = 1, o_ins: int = 6, e_ins: int = 1,
               zdrop: int = 100, w: int = 100, end_bonus: int = 5) -> np.ndarray:
     """Scores for all pairs in input order, replicating the reference's
-    batch -> sort-by-len1 -> groups-of-8 pipeline."""
+    batch -> sort-by-len1 -> groups-of-8 pipeline.
+
+    Group membership (which determines the group-shared band, hence the
+    scores) is formed per `batch_size` slice exactly like the reference's
+    counting sort.  Device execution then departs from the reference: ALL
+    groups across ALL batches that share a padded (R, C2) shape bucket run
+    in ONE device call, so each sequential DP row advances tens of
+    thousands of lanes at once instead of 8."""
     n = len(pairs)
     _, mis, amb = fill_scmat(match, mismatch, ambig)
     scores = np.zeros(n, np.int32)
     if batch_size <= 0:
         batch_size = ((n + LANES - 1) // LANES) * LANES
 
+    all_len1 = np.fromiter((len(r) for r in pairs.refs), np.int32, n)
+    all_len2 = np.fromiter((len(q) for q in pairs.quers), np.int32, n)
+
+    # bucket key -> list of (lane -> source pair index, -1 pad) group rows
+    buckets: defaultdict = defaultdict(list)
     for b0 in range(0, n, batch_size):
         idx = np.arange(b0, min(b0 + batch_size, n))
-        len1 = np.array([len(pairs.refs[i]) for i in idx], np.int32)
-        len2 = np.array([len(pairs.quers[i]) for i in idx], np.int32)
-        h0 = pairs.h0[idx]
         nb = len(idx)
-        nround = ((nb + LANES - 1) // LANES) * LANES
-        pad = nround - nb
-        len1p = np.concatenate([len1, np.zeros(pad, np.int32)])
-        len2p = np.concatenate([len2, np.zeros(pad, np.int32)])
-        h0p = np.concatenate([h0, np.zeros(pad, np.int32)])
+        pad = _round_up(nb, LANES) - nb
+        len1p = np.concatenate([all_len1[idx], np.zeros(pad, np.int32)])
+        len2p = np.concatenate([all_len2[idx], np.zeros(pad, np.int32)])
         srcp = np.concatenate([idx, np.full(pad, -1)])
         order = np.argsort(len1p, kind="stable")                # counting sort
-        g_of = order.reshape(-1, LANES)
+        for members in order.reshape(-1, LANES):
+            r = _round_up(max(int(len1p[members].max()), 1), 64)
+            c2 = _round_up(int(len2p[members].max()) + 1, 128)
+            buckets[(r, c2)].append(srcp[members])
 
-        # bucket groups by padded (nrow, ncol) to bound compiled shapes
-        buckets = defaultdict(list)
-        for g, members in enumerate(g_of):
-            r = next_pow2(max(int(len1p[members].max()), 1), 16)
-            c = next_pow2(max(int(len2p[members].max()), 1), 16)
-            buckets[(r, c)].append(g)
+    myband_all = _myband(all_len2, match, end_bonus, o_ins, e_ins,
+                         o_del, e_del, w)
 
-        myband = _myband(len2p, match, end_bonus, o_ins, e_ins, o_del, e_del, w)
-
-        for (R, C), groups in sorted(buckets.items()):
-            G = len(groups)
-            C2 = C + 1
-            s1 = np.full((G, LANES, R), DUMMY1, np.int32)
-            s2 = np.full((G, LANES, C2), DUMMY2, np.int32)
-            L1 = np.zeros((G, LANES), np.int32)
-            L2 = np.zeros((G, LANES), np.int32)
-            H0 = np.zeros((G, LANES), np.int32)
-            MB = np.zeros((G, LANES), np.int32)
-            for gi, g in enumerate(groups):
-                for li, m in enumerate(g_of[g]):
-                    src = srcp[m]
-                    L1[gi, li] = len1p[m]
-                    L2[gi, li] = len2p[m]
-                    H0[gi, li] = h0p[m]
-                    MB[gi, li] = myband[m]
-                    if src >= 0:
-                        s1[gi, li, :len1p[m]] = pairs.refs[src]
-                        s2[gi, li, :len2p[m]] = pairs.quers[src]
-            out = _bsw_device(s1, s2, L1, L2, H0, MB, R=R,
-                              match=match, mismatch=mis, ambig=amb,
-                              o_del=o_del, e_del=e_del, o_ins=o_ins,
-                              e_ins=e_ins, zdrop=zdrop, w=w)
-            sc = np.asarray(out[0])
-            for gi, g in enumerate(groups):
-                for li, m in enumerate(g_of[g]):
-                    src = srcp[m]
-                    if src >= 0:
-                        scores[src] = sc[gi, li]
+    for (R, C2), rows in sorted(buckets.items()):
+        src = np.stack(rows)                                   # (G, LANES)
+        G = src.shape[0]
+        valid = src >= 0
+        safe = np.where(valid, src, 0)
+        L1 = np.where(valid, all_len1[safe], 0).astype(np.int32)
+        L2 = np.where(valid, all_len2[safe], 0).astype(np.int32)
+        H0 = np.where(valid, pairs.h0[safe], 0).astype(np.int32)
+        MB = np.where(valid, myband_all[safe],
+                      _myband(np.zeros(1, np.int32), match, end_bonus,
+                              o_ins, e_ins, o_del, e_del, w)[0]).astype(np.int32)
+        s1 = np.full((G, LANES, R), DUMMY1, np.int32)
+        s2 = np.full((G, LANES, C2), DUMMY2, np.int32)
+        flat1 = s1.reshape(G * LANES, R)
+        flat2 = s2.reshape(G * LANES, C2)
+        for k, sidx in enumerate(src.ravel()):
+            if sidx >= 0:
+                r_ = pairs.refs[sidx]
+                q_ = pairs.quers[sidx]
+                flat1[k, :len(r_)] = r_
+                flat2[k, :len(q_)] = q_
+        out = _bsw_device(s1, s2, L1, L2, H0, MB, R=R,
+                          match=match, mismatch=mis, ambig=amb,
+                          o_del=o_del, e_del=e_del, o_ins=o_ins,
+                          e_ins=e_ins, zdrop=zdrop, w=w)
+        sc = np.asarray(out[0]).ravel()
+        flat_src = src.ravel()
+        scores[flat_src[valid.ravel()]] = sc[valid.ravel()]
     return scores
 
 
