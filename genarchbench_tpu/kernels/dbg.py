@@ -1,0 +1,206 @@
+"""dbg: windowed colored de Bruijn graph construction (Platypus) — TPU-native.
+
+Reference semantics: dbg/src/debruijn.cpp — region split into 1500bp
+windows stepped by 750 (:1577-1592), per window a k=15 DBG built from
+the reference slice [assemStart-1500, assemEnd+1500) (:1291-1316,
+loadReferenceIntoGraph inserts kmers i and i+1 for
+i < len-k-1) and from QC-pass reads whose 16-base window has
+min(qual) >= 20 and no N (loadReadIntoGraph :1351-1396); window read
+selection via bisect on softclip-adjusted positions
+(common.cpp:161-194, getRead :24-110).  Output per window:
+"refStart refStart " then each FIRST-INSERTED node's sequence printed
+with %s — i.e. the whole NUL-terminated SUFFIX of its source buffer
+(printDeBruijnGraph :881-891 with createNode storing the raw pointer,
+:302-328), concatenated in node insertion order.
+
+TPU-first design: the per-read admissibility mask — rolling 16-base
+min-quality >= 20 AND no-N — is computed for ALL reads of the region
+in one batched device pass (log-depth running minima), the only dense
+arithmetic in this kernel; the graph itself (ordered hash insertion,
+suffix bookkeeping) is tiny irregular host work, exactly as the
+reference's scalar hash loops are.
+"""
+
+from __future__ import annotations
+
+import sys
+from bisect import bisect_left
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from genarchbench_tpu.core.roi import ROITimer
+from genarchbench_tpu.io.bam_io import (FQCFAIL, parse_region, read_bam)
+
+KMER = 15
+MIN_QUAL = 20
+REGION_SIZE = 1500
+REGION_SHIFT = 750
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _admissible_device(seq_is_n, qual, lens, k):
+    """(B, L) read arrays -> (B, L) bool: position i admits the k+1-base
+    window [i, i+k+1) (min qual >= MIN_QUAL, no N, in range)."""
+    B, L = qual.shape
+    m = jnp.where(seq_is_n, -1, qual)         # N forces the window out
+    # running min over the k+1 window via doubling shifted minima:
+    # cur[i] = min(m[i..i+size)); extend by min with cur shifted size
+    cur = m
+    size = 1
+    w = k + 1
+    while size < w:
+        s = min(size, w - size)
+        pad = jnp.full((B, s), 1 << 20, m.dtype)
+        cur = jnp.minimum(cur,
+                          jnp.concatenate([cur[:, s:], pad], axis=1))
+        size += s
+    pos = lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    return (cur >= MIN_QUAL) & (pos < (lens[:, None] - k))
+
+
+def _window_min_mask(seqs: List[str], quals: List[np.ndarray]) -> List[np.ndarray]:
+    if not seqs:
+        return []
+    L = max(len(s) for s in seqs)
+    Lp = 1 << max(L - 1, 1).bit_length()
+    B = len(seqs)
+    isn = np.zeros((B, Lp), bool)
+    q = np.zeros((B, Lp), np.int32)
+    lens = np.zeros(B, np.int32)
+    for i, (s, qu) in enumerate(zip(seqs, quals)):
+        arr = np.frombuffer(s.encode(), np.uint8)
+        isn[i, :len(s)] = arr == ord("N")
+        q[i, :len(qu)] = qu
+        lens[i] = len(s)
+    ok = np.asarray(_admissible_device(
+        jnp.asarray(isn), jnp.asarray(q), jnp.asarray(lens), k=KMER))
+    return [ok[i, :lens[i]] for i in range(B)]
+
+
+def build_window_graph(ref: str, ref_start: int,
+                       reads: List[Tuple[str, np.ndarray, bool]],
+                       masks: List[np.ndarray]) -> str:
+    """Returns the concatenated node-suffix string for one window.
+    reads: (seq, qual, qcfail)."""
+    nodes: Dict[str, str] = {}       # kmer -> suffix at first insertion
+    order: List[str] = []
+
+    def insert(buf: str, i: int):
+        kmer = buf[i:i + KMER]
+        if kmer not in nodes:
+            nodes[kmer] = buf[i:]
+            order.append(kmer)
+
+    n = len(ref)
+    for i in range(max(0, n - KMER - 1)):
+        insert(ref, i)
+        insert(ref, i + 1)
+
+    for (seq, qual, qcfail), ok in zip(reads, masks):
+        if qcfail:
+            continue
+        ln = len(seq)
+        for i in range(max(0, ln - KMER - 1)):
+            if ok[i]:
+                insert(seq, i)
+                insert(seq, i + 1)
+    return "".join(nodes[k] for k in order)
+
+
+def run(argv: Sequence[str]) -> int:
+    """CLI compatible with the reference dbg binary (debruijn.cpp:1474):
+    file.bam chr:start-stop ref.fa n_threads verbose."""
+    if len(argv) != 5:
+        print("Usage dbg file.bam chr:start-stop ref.fa n_threads verbose",
+              file=sys.stderr)
+        return 1
+    bam_file, region, ref_fa = argv[0], argv[1], argv[2]
+    nthreads = int(argv[3])
+    verbose = int(argv[4])
+
+    chrom, beg, end = parse_region(region)
+    refs, records = read_bam(bam_file)
+    names = [nm for nm, _ in refs]
+    cid = names.index(chrom)
+    clen = refs[cid][1]
+    if beg is None:
+        beg, end = 0, clen
+    if end is None:
+        end = clen
+
+    # reference contig
+    ref_seq = None
+    with open(ref_fa) as f:
+        cur_name, cur = None, []
+        for line in f:
+            line = line.rstrip()
+            if line.startswith(">"):
+                if cur_name == chrom:
+                    break
+                cur_name, cur = line[1:].split()[0], []
+            else:
+                cur.append(line)
+        if cur_name == chrom:
+            ref_seq = "".join(cur)
+    if ref_seq is None:
+        print(f"contig {chrom} not in {ref_fa}", file=sys.stderr)
+        return 1
+
+    # region reads (iterator order), softclip-adjusted positions
+    sel = []
+    for r in records:
+        if r.ref_id != cid or (r.flag & 0x4):
+            continue
+        if r.pos >= end or r.pos + max(r.ref_span(), 1) <= beg:
+            continue
+        adj = r.pos
+        if r.cigar and r.cigar[0][0] == 4:
+            adj -= r.cigar[0][1]
+        sel.append((adj, r.pos + r.ref_span(), r.seq, r.qual,
+                    bool(r.flag & FQCFAIL)))
+    pos_arr = [s[0] for s in sel]
+    end_arr = [s[1] for s in sel]
+    longest = max((e - p for p, e, *_ in sel), default=0)
+
+    masks = _window_min_mask([s[2] for s in sel], [s[3] for s in sel])
+
+    print(f"Found {max(0, (end - beg + REGION_SHIFT - 1) // REGION_SHIFT)} "
+          f"batches. Running with threads: {nthreads}", file=sys.stderr)
+
+    roi = ROITimer("dbg", "Kernel runtime: {t:.2f} s")
+    out_lines = []
+    with roi:
+        for k0 in range(beg, end, REGION_SHIFT):
+            assem_start = k0
+            assem_end = min(assem_start + REGION_SIZE, end)
+            ref_start = max(0, assem_start - REGION_SIZE)
+            ref_end = assem_end + REGION_SIZE
+            ref_slice = ref_seq[ref_start:min(ref_end, clen)]
+            # setWindowPointers (common.cpp:161-194)
+            if sel:
+                first = max(1, assem_start - longest)
+                s_i = bisect_left(pos_arr, first)
+                e_i = bisect_left(pos_arr, assem_end)
+                while s_i < len(sel) and end_arr[s_i] <= assem_start:
+                    s_i += 1
+                e_i = min(e_i, len(sel))
+            else:
+                s_i = e_i = 0
+            wr = [(s[2], s[3], s[4]) for s in sel[s_i:e_i]]
+            wm = masks[s_i:e_i]
+            body = build_window_graph(ref_slice, ref_start, wr, wm)
+            out_lines.append(f"{ref_start} {ref_start} {body}")
+    if verbose > 0:                 # print_graph = verbose > 0
+        for ln in out_lines:
+            print(ln)
+    roi.report()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run(sys.argv[1:]))
