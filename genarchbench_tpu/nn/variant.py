@@ -1,0 +1,350 @@
+"""nn-variant: Clair3 pileup-model variant calling — TPU-native.
+
+Reference semantics: nn-variant/Clair3 — the pileup network Clair3_P
+(clair3/model.py:58-186): input (batch, 33 positions, 18 channels)
+-> BiLSTM(128) -> BiLSTM(160) -> flatten -> Dense(128, selu) ->
+heads Dense(128, selu) -> Dense(21|3|33|33, selu) -> softmax over
+gt21 / genotype / two indel-length tasks; channel order
+"A C G T I I1 D D1 * a c g t i i1 d d1 #" (shared/param_p.py:30);
+pileup tensor = per-position signed counts from BAM
+(preprocess/CreateTensorPileup.py); the benchmark checks the
+pileup-stage VCF (scripts/regression_small.sh).
+
+TPU-first design: the model is flax/linen with the LSTM expressed as a
+`lax.scan` over (batch, hidden) matmul steps (MXU-shaped); inference
+batches candidate positions into one padded (B, 33, 18) tensor; the
+pileup tensor generation reuses the scatter-add pileup machinery.
+Keras-checkpoint weights convert via `convert_keras_weights` (gate
+order i,f,c,o preserved).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+NO_OF_POSITIONS = 33
+FLANKING = 16
+CHANNELS = 18
+GT21_LABELS = [
+    "AA", "AC", "AG", "AT", "CC", "CG", "CT", "GG", "GT", "TT",
+    "DelDel", "ADel", "CDel", "GDel", "TDel",
+    "InsIns", "AIns", "CIns", "GIns", "TIns", "InsDel"]
+GT21_SIZE = 21
+GENOTYPE_SIZE = 3
+
+
+class LSTMCellIFCO(nn.Module):
+    """Keras-semantics LSTM cell: gates ordered i, f, c, o; tanh /
+    sigmoid activations; bias on the input kernel only."""
+    units: int
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h, c = carry
+        u = self.units
+        Wk = self.param("kernel", nn.initializers.lecun_normal(),
+                        (x.shape[-1], 4 * u))
+        Wr = self.param("recurrent", nn.initializers.orthogonal(),
+                        (u, 4 * u))
+        b = self.param("bias", nn.initializers.zeros, (4 * u,))
+        z = x @ Wk + h @ Wr + b
+        i = jax.nn.sigmoid(z[..., :u])
+        f = jax.nn.sigmoid(z[..., u:2 * u])
+        g = jnp.tanh(z[..., 2 * u:3 * u])
+        o = jax.nn.sigmoid(z[..., 3 * u:])
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+        return (h2, c2), h2
+
+
+class BiLSTM(nn.Module):
+    units: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, _ = x.shape
+        fwd = nn.scan(LSTMCellIFCO, variable_broadcast="params",
+                      split_rngs={"params": False}, in_axes=1,
+                      out_axes=1)(self.units, name="fwd")
+        bwd = nn.scan(LSTMCellIFCO, variable_broadcast="params",
+                      split_rngs={"params": False}, in_axes=1,
+                      out_axes=1)(self.units, name="bwd")
+        z = jnp.zeros((B, self.units), x.dtype)
+        _, hf = fwd((z, z), x)
+        _, hb = bwd((z, z), x[:, ::-1, :])
+        return jnp.concatenate([hf, hb[:, ::-1, :]], axis=-1)
+
+
+class Clair3P(nn.Module):
+    """clair3/model.py Clair3_P (predict mode concatenates the
+    softmaxed heads)."""
+    add_indel_length: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(jnp.float32)
+        x = BiLSTM(128, name="LSTM1")(x)
+        x = BiLSTM(160, name="LSTM2")(x)
+        x = x.reshape(x.shape[0], -1)
+        x = jax.nn.selu(nn.Dense(128, name="L4")(x))
+        h1 = jax.nn.selu(nn.Dense(128, name="L5_1")(x))
+        h2 = jax.nn.selu(nn.Dense(128, name="L5_2")(x))
+        gt21 = jax.nn.softmax(
+            jax.nn.selu(nn.Dense(GT21_SIZE, name="Y_gt21")(h1)))
+        geno = jax.nn.softmax(
+            jax.nn.selu(nn.Dense(GENOTYPE_SIZE, name="Y_genotype")(h2)))
+        outs = [gt21, geno]
+        if self.add_indel_length:
+            h3 = jax.nn.selu(nn.Dense(128, name="L5_3")(x))
+            h4 = jax.nn.selu(nn.Dense(128, name="L5_4")(x))
+            outs.append(jax.nn.softmax(jax.nn.selu(
+                nn.Dense(NO_OF_POSITIONS, name="Y_len1")(h3))))
+            outs.append(jax.nn.softmax(jax.nn.selu(
+                nn.Dense(NO_OF_POSITIONS, name="Y_len2")(h4))))
+        return jnp.concatenate(outs, axis=1)
+
+
+def convert_keras_weights(weights: Dict[str, np.ndarray],
+                          add_indel_length: bool = True) -> Dict[str, Any]:
+    """Map Keras-layer weight arrays onto the flax tree.
+
+    `weights` keys: 'LSTM1/forward/kernel', 'LSTM1/forward/recurrent',
+    'LSTM1/forward/bias' (+ 'backward'), same for LSTM2; dense layers
+    'L4/kernel', 'L4/bias', 'L5_1/...', 'Y_gt21/...', etc.  Keras LSTM
+    kernels are already (in, 4u) with gate order i,f,c,o — identical to
+    our cell — so the mapping is a rename."""
+    p: Dict[str, Any] = {}
+
+    def lstm(dst, src):
+        p[dst] = {
+            "fwd": {"kernel": weights[f"{src}/forward/kernel"],
+                    "recurrent": weights[f"{src}/forward/recurrent"],
+                    "bias": weights[f"{src}/forward/bias"]},
+            "bwd": {"kernel": weights[f"{src}/backward/kernel"],
+                    "recurrent": weights[f"{src}/backward/recurrent"],
+                    "bias": weights[f"{src}/backward/bias"]},
+        }
+
+    def dense(dst, src):
+        p[dst] = {"kernel": weights[f"{src}/kernel"],
+                  "bias": weights[f"{src}/bias"]}
+
+    lstm("LSTM1", "LSTM1")
+    lstm("LSTM2", "LSTM2")
+    dense("L4", "L4")
+    dense("L5_1", "L5_1")
+    dense("L5_2", "L5_2")
+    dense("Y_gt21", "Y_gt21")
+    dense("Y_genotype", "Y_genotype")
+    if add_indel_length:
+        dense("L5_3", "L5_3")
+        dense("L5_4", "L5_4")
+        dense("Y_len1", "Y_len1")
+        dense("Y_len2", "Y_len2")
+    return {"params": jax.tree.map(jnp.asarray, p)}
+
+
+# ---------------------------------------------------------------------------
+# pileup tensor generation (CreateTensorPileup.py equivalent, simplified)
+# ---------------------------------------------------------------------------
+
+CHANNEL_ORDER = ("A", "C", "G", "T", "I", "I1", "D", "D1", "*",
+                 "a", "c", "g", "t", "i", "i1", "d", "d1", "#")
+
+
+def pileup_tensor_from_bam(records, chrom_id: int, center: int,
+                           ref_seq: str) -> np.ndarray:
+    """(33, 18) pileup count tensor around `center` (0-based).
+
+    Simplified CreateTensorPileup: counts of each base by strand
+    (upper = forward, lower = reverse), insertion starts (I/i), first
+    inserted base match (I1/i1), deletion starts (D/d, D1/d1), spanning
+    deletions (*, #)."""
+    from genarchbench_tpu.kernels.pileup import (FILTER_FLAGS,
+                                                 _read_events)
+    idx = {c: i for i, c in enumerate(CHANNEL_ORDER)}
+    t = np.zeros((NO_OF_POSITIONS, CHANNELS), np.int32)
+    lo = center - FLANKING
+    hi = center + FLANKING + 1
+    for r in records:
+        if r.ref_id != chrom_id or (r.flag & FILTER_FLAGS) or r.mapq < 1:
+            continue
+        if r.pos >= hi or r.pos + r.ref_span() <= lo:
+            continue
+        pos, is_del, is_skip, qpos, indel = _read_events(r)
+        rev = r.is_reverse
+        for p, d, sk, q, ind in zip(pos, is_del, is_skip, qpos, indel):
+            if p < lo or p >= hi or sk:
+                continue
+            col = p - lo
+            if d:
+                t[col, idx["#" if rev else "*"]] += 1
+                continue
+            base = r.seq[q].upper()
+            if base in "ACGT":
+                ch = base.lower() if rev else base
+                t[col, idx[ch]] += 1
+            if ind > 0:
+                t[col, idx["i" if rev else "I"]] += 1
+                nxt = r.seq[q + 1].upper()
+                ref_next = (ref_seq[p + 1].upper()
+                            if p + 1 < len(ref_seq) else "N")
+                if nxt == ref_next:
+                    t[col, idx["i1" if rev else "I1"]] += 1
+            elif ind < 0:
+                t[col, idx["d" if rev else "D"]] += 1
+                if -ind == 1:
+                    t[col, idx["d1" if rev else "D1"]] += 1
+    return t
+
+
+# ---------------------------------------------------------------------------
+# variant calling output
+# ---------------------------------------------------------------------------
+
+def gt21_to_alleles(label: str, ref_base: str) -> Tuple[str, str, str]:
+    """gt21 label -> (ref, alt, genotype-string)."""
+    if label in ("AA", "CC", "GG", "TT"):
+        b = label[0]
+        if b == ref_base:
+            return ref_base, ".", "0/0"
+        return ref_base, b, "1/1"
+    if len(label) == 2 and label[0] in "ACGT" and label[1] in "ACGT":
+        a, b = label[0], label[1]
+        if ref_base == a:
+            return ref_base, b, "0/1"
+        if ref_base == b:
+            return ref_base, a, "0/1"
+        return ref_base, f"{a},{b}", "1/2"
+    return ref_base, ".", "./."        # indel classes need realignment
+
+
+@dataclasses.dataclass
+class PileupCaller:
+    variables: Dict[str, Any]
+    add_indel_length: bool = True
+
+    def __post_init__(self):
+        self.model = Clair3P(add_indel_length=self.add_indel_length)
+        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    @classmethod
+    def init(cls, seed: int = 0, add_indel_length: bool = True):
+        model = Clair3P(add_indel_length=add_indel_length)
+        x = jnp.zeros((1, NO_OF_POSITIONS, CHANNELS))
+        return cls(model.init(jax.random.PRNGKey(seed), x),
+                   add_indel_length)
+
+    def predict(self, tensors: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fwd(self.variables, jnp.asarray(tensors)))
+
+    def call_variants(self, tensors, positions, ref_bases, chrom,
+                      qual_cutoff=0.0):
+        """VCF rows for candidate positions (CallVariants.py pileup
+        output shape: CHROM POS ID REF ALT QUAL FILTER INFO FORMAT)."""
+        probs = self.predict(tensors)
+        rows = []
+        for k, pos in enumerate(positions):
+            gt21 = probs[k, :GT21_SIZE]
+            geno = probs[k, GT21_SIZE:GT21_SIZE + GENOTYPE_SIZE]
+            gi = int(np.argmax(gt21))
+            label = GT21_LABELS[gi]
+            ref, alt, gt = gt21_to_alleles(label, ref_bases[k])
+            if alt == ".":
+                continue
+            qual = float(gt21[gi]) * float(np.max(geno))
+            if qual < qual_cutoff:
+                continue
+            q10 = min(99.0, -10.0 * np.log10(max(1e-10, 1 - qual)))
+            rows.append(f"{chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t"
+                        f"{q10:.2f}\tPASS\t.\tGT\t{gt}")
+        return rows
+
+
+def run(argv: Sequence[str]) -> int:
+    """Pileup-stage variant calling: --bam --ref --region --output
+    [--model weights.npz]."""
+    import argparse
+    from genarchbench_tpu.io.bam_io import parse_region, read_bam
+    p = argparse.ArgumentParser(prog="nn-variant")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--ref", required=True)
+    p.add_argument("--region", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--model", default=None)
+    p.add_argument("--min_af", type=float, default=0.25)
+    args = p.parse_args(argv)
+
+    chrom, beg, end = parse_region(args.region)
+    refs, records = read_bam(args.bam)
+    names = [n for n, _ in refs]
+    cid = names.index(chrom)
+    if beg is None:
+        beg, end = 0, refs[cid][1]
+
+    ref_seq = ""
+    with open(args.ref) as f:
+        cur, take = [], False
+        for line in f:
+            line = line.rstrip()
+            if line.startswith(">"):
+                take = line[1:].split()[0] == chrom
+            elif take:
+                cur.append(line)
+        ref_seq = "".join(cur)
+
+    if args.model:
+        z = np.load(args.model)
+        caller = PileupCaller(convert_keras_weights(dict(z)))
+    else:
+        caller = PileupCaller.init()
+
+    # candidate selection: positions whose non-ref support >= min_af
+    from genarchbench_tpu.kernels.pileup import calculate_pileup
+    majors, minors, mat, _ = calculate_pileup(records, cid, beg, end)
+    cands = []
+    base_cols = {b: i for i, b in enumerate("acgtACGT")}
+    for i in range(len(majors)):
+        if minors[i] != 0:
+            continue
+        pos = int(majors[i])
+        ref_b = ref_seq[pos].upper() if pos < len(ref_seq) else "N"
+        row = mat[i].reshape(-1, 10).sum(axis=0)
+        depth = row.sum()
+        if depth == 0 or ref_b not in "ACGT":
+            continue
+        ref_cnt = row[base_cols[ref_b]] + row[base_cols[ref_b.lower()]]
+        if depth - ref_cnt >= max(2, args.min_af * depth):
+            cands.append((pos, ref_b))
+
+    roi_lines: List[str] = []
+    if cands:
+        tensors = np.stack([
+            pileup_tensor_from_bam(records, cid, pos, ref_seq)
+            for pos, _ in cands])
+        roi_lines = caller.call_variants(
+            tensors, [p_ for p_, _ in cands],
+            [b for _, b in cands], chrom)
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    out.write("##fileformat=VCFv4.2\n")
+    out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              "SAMPLE\n")
+    for row in roi_lines:
+        out.write(row + "\n")
+    if args.output:
+        out.close()
+    print(f"[INFO] VariantCalling executed: {len(roi_lines)} variants "
+          f"from {len(cands)} candidates", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run(sys.argv[1:]))
