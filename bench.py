@@ -4,10 +4,13 @@ Headline metric: kmer-cnt kernel throughput (bases/s through the
 distinct-canonical-k-mer count at the benchmark configuration k=17,
 reference: kmer-cnt/vertex_index.cpp COUNT_VERSION 3).  Baseline = the
 reference C++ binary compiled -O2 with OpenMP using every host core, on
-the same synthetic read set, on this host's CPU.  `value` = our TPU
-kernel's bases/s; `vs_baseline` = ours / reference.
+the same synthetic read set, on this host's CPU (cached after the
+first run — its 16 GB flat-counter kernel takes minutes regardless of
+input size).
 
-Secondary numbers (bsw cell-updates/s etc.) are printed to stderr.
+The measurement runs in a child process with a timeout: the TPU tunnel
+on this host flaps, so a dead tunnel falls back to the CPU backend
+rather than hanging the driver.
 """
 
 import json
@@ -26,6 +29,7 @@ sys.path.insert(0, str(REPO))
 N_READS = int(os.environ.get("BENCH_KMER_READS", "120"))
 READ_LEN = int(os.environ.get("BENCH_KMER_READLEN", "20000"))
 K = 17
+FASTA = pathlib.Path("/tmp/bench_kmer_reads.fasta")
 
 
 def build_ref() -> pathlib.Path:
@@ -40,9 +44,9 @@ def build_ref() -> pathlib.Path:
     return out
 
 
-def gen_reads(path: pathlib.Path, rng) -> int:
+def gen_reads(rng) -> int:
     total = 0
-    with open(path, "w") as f:
+    with open(FASTA, "w") as f:
         for i in range(N_READS):
             L = READ_LEN + int(rng.integers(-2000, 2000))
             total += L
@@ -53,57 +57,78 @@ def gen_reads(path: pathlib.Path, rng) -> int:
     return total
 
 
-def run_ref(binary, fasta, cfg, nthreads):
-    """Reference baseline, cached: the reference's 16 GB flat-counter
-    kernel takes ~4 min regardless of input size, so the measurement is
-    stored in .refbuild keyed by the workload parameters."""
+def run_ref(binary, cfg, nthreads):
     cache = REPO / ".refbuild" / (
         f"kmer_baseline_{N_READS}x{READ_LEN}_k{K}_t{nthreads}.json")
     if cache.exists():
         d = json.loads(cache.read_text())
         return d["secs"], d["count"]
-    t0 = time.perf_counter()
     r = subprocess.run(
-        [str(binary), "--reads", str(fasta), "--config", str(cfg),
+        [str(binary), "--reads", str(FASTA), "--config", str(cfg),
          "--debug", "--threads", str(nthreads)],
         capture_output=True, text=True, timeout=3000)
-    wall = time.perf_counter() - t0
     txt = r.stderr + r.stdout
     mt = re.search(r"Kernel time: ([0-9.]+) sec", txt)
     mk = re.search(r"Total k-mers (\d+)", txt)
-    secs = float(mt.group(1)) if mt else wall
+    secs = float(mt.group(1)) if mt else float("nan")
     count = int(mk.group(1)) if mk else -1
     cache.write_text(json.dumps({"secs": secs, "count": count}))
     return secs, count
 
 
+def measure_child(platform: str):
+    """Runs in a child process: time the kernel, print 'SECS COUNT'."""
+    import jax
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    from genarchbench_tpu.io.fasta_io import read_fasta
+    from genarchbench_tpu.kernels.kmer import count_distinct
+    reads = read_fasta(str(FASTA), min_len=5000)
+    count_distinct(reads, K)                   # warmup/compile
+    t0 = time.perf_counter()
+    n = count_distinct(reads, K)
+    dt = time.perf_counter() - t0
+    print(f"MEASURE {dt:.4f} {n} {platform}")
+
+
+def measure(platform: str, timeout: int):
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--measure", platform],
+        capture_output=True, text=True, timeout=timeout)
+    m = re.search(r"MEASURE ([0-9.]+) (\d+) (\w+)", r.stdout)
+    if not m:
+        raise RuntimeError(r.stderr[-300:])
+    return float(m.group(1)), int(m.group(2)), m.group(3)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
+        measure_child(sys.argv[2])
+        return
+
     rng = np.random.default_rng(4242)
-    fasta = pathlib.Path("/tmp/bench_kmer_reads.fasta")
-    total_bases = gen_reads(fasta, rng)
+    total_bases = gen_reads(rng)
     cfg = pathlib.Path("/tmp/bench_kmer.cfg")
     cfg.write_text(f"kmer_size = {K}\nuse_minimizers = 0\n"
                    "assemble_kmer_sample = 1\n")
 
-    from genarchbench_tpu.io.fasta_io import read_fasta
-    from genarchbench_tpu.kernels.kmer import count_distinct
-    reads = read_fasta(str(fasta), min_len=5000)
-
-    count_distinct(reads, K)                   # warmup/compile
-    t0 = time.perf_counter()
-    ours_n = count_distinct(reads, K)
-    ours_s = time.perf_counter() - t0
+    try:
+        ours_s, ours_n, plat = measure("tpu", timeout=300)
+    except Exception as e:
+        print(f"# tpu measurement failed ({type(e).__name__}); "
+              f"falling back to cpu backend", file=sys.stderr)
+        ours_s, ours_n, plat = measure("cpu", timeout=600)
     ours = total_bases / ours_s
 
     binary = build_ref()
     nthreads = os.cpu_count() or 1
-    ref_s, ref_n = run_ref(binary, fasta, cfg, nthreads)
+    ref_s, ref_n = run_ref(binary, cfg, nthreads)
     ref = total_bases / ref_s if ref_s > 0 else float("nan")
 
     match = "OK" if ours_n == ref_n else f"MISMATCH ours={ours_n} ref={ref_n}"
-    print(f"# kmer-cnt k={K} {total_bases} bases: tpu {ours_s:.2f}s "
-          f"vs cpu({nthreads}t) {ref_s:.2f}s, distinct {ours_n} [{match}]",
-          file=sys.stderr)
+    print(f"# kmer-cnt k={K} {total_bases} bases on {plat}: "
+          f"{ours_s:.2f}s vs cpu-ref({nthreads}t) {ref_s:.2f}s, "
+          f"distinct {ours_n} [{match}]", file=sys.stderr)
     print(json.dumps({
         "metric": "kmercnt_bases_per_s",
         "value": round(ours, 1),

@@ -97,10 +97,66 @@ def _codes_device(seqs, lens, k):
     return hi, lo
 
 
+@jax.jit
+def _distinct_count_device(hi, lo):
+    """ONE lexicographic sort + adjacent-diff count; only the scalar
+    leaves the device (the big win over per-batch host transfers)."""
+    hi_s, lo_s = lax.sort((hi, lo), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones(1, bool),
+        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+    return jnp.sum(first & (hi_s < HI_SENTINEL))
+
+
 def count_distinct(reads: ReadSet, k: int,
                    batch_bases: int = 1 << 25) -> int:
-    """Distinct canonical k-mers across all reads (device sort + host
-    merge of per-batch distinct code sets)."""
+    """Distinct canonical k-mers across all reads: per-batch code
+    computation on device, codes stay resident, one global device
+    sort + count at the end."""
+    order = np.argsort([len(s) for s in reads.seqs])[::-1]
+    parts = []
+    batch: list = []
+    batch_cells = 0
+    Lmax = 0
+
+    def flush():
+        nonlocal batch, batch_cells, Lmax
+        if not batch:
+            return
+        B = len(batch)
+        arr = np.zeros((B, Lmax), np.int32)
+        lens = np.zeros(B, np.int32)
+        for i, s in enumerate(batch):
+            arr[i, :len(s)] = s
+            lens[i] = len(s)
+        hi, lo = _codes_device(jnp.asarray(arr), jnp.asarray(lens), k=k)
+        parts.append((hi.ravel(), lo.ravel()))
+        batch, batch_cells, Lmax = [], 0, 0
+
+    for i in order:
+        s = reads.seqs[i].astype(np.int32)
+        Lpad = _round_up(max(len(s), k), 256)
+        if batch and (batch_cells + Lpad > batch_bases or Lpad != Lmax):
+            flush()
+        Lmax = max(Lmax, Lpad)
+        batch.append(s)
+        batch_cells += Lpad
+    flush()
+    if not parts:
+        return 0
+    hi = jnp.concatenate([p[0] for p in parts])
+    lo = jnp.concatenate([p[1] for p in parts])
+    n = hi.shape[0]
+    npad = (1 << max(n - 1, 1).bit_length()) - n    # pow2: stable jit shapes
+    hi = jnp.concatenate([hi, jnp.full(npad, HI_SENTINEL, jnp.int32)])
+    lo = jnp.concatenate([lo, jnp.zeros(npad, jnp.int32)])
+    return int(_distinct_count_device(hi, lo))
+
+
+def count_distinct_hostmerge(reads: ReadSet, k: int,
+                             batch_bases: int = 1 << 25) -> int:
+    """Fallback for inputs whose code array exceeds device memory:
+    per-batch device codes + np.unique merge on the host."""
     # pack reads into (B, L) batches bucketed by padded length
     order = np.argsort([len(s) for s in reads.seqs])[::-1]
     uniq_parts = []
