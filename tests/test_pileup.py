@@ -171,3 +171,37 @@ def test_pileup_dense_chunk_boundary(pileup_ref, tmp_path):
     bam_io.write_bam(str(bam), refs, records)
     region = "big:1-220000"
     assert run_ours(bam, region) == run_ref(pileup_ref, bam, region)
+
+
+def test_native_bgzf_matches_python(tmp_path):
+    """The C BGZF decoder and the pure-Python path produce identical
+    bytes (bam_io uses native when the toolchain exists)."""
+    import importlib
+    import struct
+    import zlib
+    from genarchbench_tpu import native
+    rng = np.random.default_rng(11)
+    bam = tmp_path / "t.bam"
+    make_bam(bam, rng, n_reads=30)
+    raw = bam.read_bytes()
+    nat = native.bgzf_decompress(raw)
+    if nat is None:
+        pytest.skip("no C toolchain for native bgzf")
+    # pure-python decode (mirror of bam_io's fallback)
+    out = []
+    pos = 0
+    while pos < len(raw):
+        xlen = struct.unpack("<H", raw[pos + 10:pos + 12])[0]
+        extra = raw[pos + 12:pos + 12 + xlen]
+        e = 0
+        bsize = None
+        while e < len(extra):
+            si1, si2 = extra[e], extra[e + 1]
+            slen = struct.unpack("<H", extra[e + 2:e + 4])[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack("<H", extra[e + 4:e + 6])[0] + 1
+            e += 4 + slen
+        payload = raw[pos + 12 + xlen:pos + bsize - 8]
+        out.append(zlib.decompress(payload, -15))
+        pos += bsize
+    assert nat == b"".join(out)
