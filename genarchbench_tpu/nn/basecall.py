@@ -357,13 +357,22 @@ def convert_torch_state_dict(state: Dict[str, np.ndarray],
     return {"params": params, "batch_stats": stats}
 
 
+def _load_toml(path: str) -> Dict[str, Any]:
+    try:
+        import tomllib
+        with open(path, "rb") as f:
+            return tomllib.load(f)
+    except ImportError:
+        import toml  # type: ignore
+        return toml.load(path)
+
+
 def load_torch_checkpoint(model_dir: str,
                           weights: str = "0") -> "Basecaller":
     """Load a bonito model directory (config.toml + weights_<n>.tar)."""
     import os
-    import toml  # type: ignore
     import torch
-    config = toml.load(os.path.join(model_dir, "config.toml"))
+    config = _load_toml(os.path.join(model_dir, "config.toml"))
     state = torch.load(os.path.join(model_dir, f"weights_{weights}.tar"),
                        map_location="cpu")
     state = {k: v for k, v in state.items()}
