@@ -99,13 +99,23 @@ def _codes_device(seqs, lens, k):
 
 @jax.jit
 def _distinct_count_device(hi, lo):
-    """ONE lexicographic sort + adjacent-diff count; only the scalar
-    leaves the device (the big win over per-batch host transfers)."""
+    """ONE lexicographic sort, then count k-mers the way the reference
+    does: its 8-bit flat counter re-counts a k-mer every time the
+    counter wraps (vertex_index.cpp:820-833, 'WARNING: This is wrong if
+    there is overflow'), so the reported total is
+    sum(ceil(count / 256)) over distinct canonical k-mers — replicated
+    here via the rank of each element within its sorted run.  Only the
+    scalar leaves the device."""
     hi_s, lo_s = lax.sort((hi, lo), num_keys=2)
+    n = hi_s.shape[0]
     first = jnp.concatenate([
         jnp.ones(1, bool),
         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
-    return jnp.sum(first & (hi_s < HI_SENTINEL))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_start = lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, -1))
+    rank = idx - seg_start
+    return jnp.sum((rank % 256 == 0) & (hi_s < HI_SENTINEL))
 
 
 def count_distinct(reads: ReadSet, k: int,
@@ -275,6 +285,88 @@ def count_distinct_sharded(reads: ReadSet, k: int, mesh=None,
     return int(np.asarray(counts)[0])
 
 
+# ---------------------------------------------------------------------------
+# minimizer index (buildIndexMinimizers, vertex_index.cpp:394-470)
+# ---------------------------------------------------------------------------
+
+def _kmer_hash(x: int) -> int:
+    """Kmer::hash (kmer.h:93-100): splitmix64 finalizer."""
+    M = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & M
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+    return z ^ (z >> 31)
+
+
+def yield_minimizers(codes: np.ndarray, k: int, window: int):
+    """Exact yieldMinimizers (kmer.h:206-260): sliding-window minimum
+    of hash(canonical kmer) with its monotonic deque, including the
+    equal-hash front-skipping and emit-once-per-position rules.
+    Returns [(position, fwd_code)]."""
+    from collections import deque
+    n = len(codes) - k          # IterKmers drops the final position
+    if n <= 0:
+        return []
+    # rolling fwd/canonical codes (python ints, 2k bits)
+    mask = (1 << (2 * k)) - 1
+    fwd = 0
+    rc = 0
+    for j in range(k):
+        fwd = (fwd << 2) | int(codes[j])
+        rc |= (3 - int(codes[j])) << (2 * j)
+    out = []
+    if window == 1:
+        for i in range(n):
+            out.append((i, fwd))
+            if i + 1 < n:
+                c = int(codes[i + k])
+                fwd = ((fwd << 2) | c) & mask
+        return out
+    q: deque = deque()           # (position, fwd_code, hash)
+    for i in range(n):
+        canon = min(fwd, rc)
+        h = _kmer_hash(canon)
+        while q and q[-1][2] > h:
+            q.pop()
+        q.append((i, fwd, h))
+        if q[0][0] <= i - window:
+            while q[0][0] <= i - window:
+                q.popleft()
+            while len(q) >= 2 and q[0][2] == q[1][2]:
+                q.popleft()
+        if not out or out[-1][0] != q[0][0]:
+            out.append((q[0][0], q[0][1]))
+        if i + 1 < n:
+            c = int(codes[i + k])
+            fwd = ((fwd << 2) | c) & mask
+            rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)))
+    return out
+
+
+def build_minimizer_index(reads: ReadSet, k: int, window: int,
+                          min_coverage: int = 1,
+                          repeat_kmer_rate: float = 100.0):
+    """buildIndexMinimizers: count canonical minimizers, mark
+    repetitive ones above rate * mean-frequency
+    (vertex_index.cpp:394-470 + filterFrequentKmers).  Returns
+    (counts dict canonical_code -> n, repetitive set)."""
+    counts: dict = {}
+    for s in reads.seqs:
+        for (_pos, fwd) in yield_minimizers(s, k, window):
+            rc = 0
+            t = fwd
+            for _ in range(k):
+                rc = (rc << 2) | (3 - (t & 3))
+                t >>= 2
+            canon = min(fwd, rc)
+            counts[canon] = counts.get(canon, 0) + 1
+    total = sum(c for c in counts.values() if c >= min_coverage)
+    uniq = sum(1 for c in counts.values() if c >= min_coverage)
+    thresh = repeat_kmer_rate * (total / (uniq + 1))
+    repetitive = {km for km, c in counts.items() if c > thresh}
+    return counts, repetitive
+
+
 def parse_config(path: str) -> dict:
     """Flye key=value config with %include (kmer-cnt/config.h)."""
     import os
@@ -324,9 +416,13 @@ def run(argv: Sequence[str]) -> int:
     roi = ROITimer("kmer-cnt", "Kernel time: {t:.3f} sec")
     with roi:
         if use_minimizers:
-            raise NotImplementedError(
-                "minimizer index: see buildIndexMinimizers (planned)")
-        n = count_distinct(reads, k)
+            wnd = int(cfg.get("minimizer_window", 5))
+            counts, repetitive = build_minimizer_index(reads, k, wnd)
+            print(f"DEBUG: Minimizers {len(counts)} "
+                  f"(repetitive {len(repetitive)})", file=sys.stderr)
+            n = len(counts)
+        else:
+            n = count_distinct(reads, k)
     print(f"DEBUG: Total k-mers {n}", file=sys.stderr)
     roi.report(file=sys.stderr)
     del t0

@@ -110,3 +110,59 @@ def test_min_length_filter(tmp_path):
     fasta.write_text(">a\n" + "ACGT" * 300 + "\n>b\n" + "AC" * 100 + "\n")
     reads = read_fasta(str(fasta), min_len=1000)
     assert len(reads) == 1 and len(reads.seqs[0]) == 1200
+
+
+def test_count_replicates_overflow_bug(kmer_ref, tmp_path):
+    """A k-mer seen >256 times is re-counted on every 8-bit counter
+    wrap (vertex_index.cpp:820-833) — Total k-mers must match."""
+    rep = "ACGTACGTACGT"  # k=11 kmers repeat ~600x in the tandem read
+    fasta = tmp_path / "rep.fasta"
+    with open(fasta, "w") as f:
+        f.write(">tandem\n")
+        s = rep * 600
+        for j in range(0, len(s), 80):
+            f.write(s[j:j + 80] + "\n")
+        # plus a normal read so the file is representative
+        rng = np.random.default_rng(8)
+        f.write(">normal\n")
+        t = "".join("ACGT"[c] for c in rng.integers(0, 4, 6000))
+        for j in range(0, len(t), 80):
+            f.write(t[j:j + 80] + "\n")
+    reads = read_fasta(str(fasta), min_len=0)
+    ours = km.count_distinct(reads, 11)
+    assert ours == ref_count(kmer_ref, fasta, tmp_path, 11)
+
+
+@pytest.mark.parametrize("seed,k,w", [(0, 11, 5), (1, 15, 8), (2, 17, 3)])
+def test_yield_minimizers_matches_reference(tmp_path, seed, k, w):
+    import pathlib
+    import subprocess as sp
+    binary = pathlib.Path(__file__).resolve().parent.parent / \
+        ".refbuild" / "kmer_mini_ref"
+    if not binary.exists():
+        ref = "/root/reference/benchmarks/kmer-cnt"
+        r = sp.run(["bash", "-c",
+                    f"g++ -O2 -std=c++14 -I {ref} -o {binary} "
+                    f"{binary.parent}/kmer_build/mini_main.cpp "
+                    f"{ref}/sequence.cpp"],
+                   capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip("cannot build minimizer oracle")
+    rng = np.random.default_rng(seed)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 3000))
+    r = sp.run([str(binary), str(k), str(w)], input=seq + "\n",
+               capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0
+    ref_mins = [tuple(int(x) for x in ln.split())
+                for ln in r.stdout.splitlines()]
+    codes = np.array([{"A": 0, "C": 1, "G": 2, "T": 3}[c]
+                      for c in seq], np.uint8)
+    ours = []
+    for (pos, fwd) in km.yield_minimizers(codes, k, w):
+        rc = 0
+        t = fwd
+        for _ in range(k):
+            rc = (rc << 2) | (3 - (t & 3))
+            t >>= 2
+        ours.append((pos, min(fwd, rc)))
+    assert ours == ref_mins
