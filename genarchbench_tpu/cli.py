@@ -18,9 +18,7 @@ prints.
 from __future__ import annotations
 
 import os
-import subprocess
 import sys
-import time
 from typing import List, Optional
 
 from genarchbench_tpu.core.check import (check_exact, check_scalar,
@@ -40,34 +38,27 @@ def cmd_run(name: str, args: List[str]) -> int:
     return load_runner(name)(args) or 0
 
 
-def _run_subprocess(name: str, args: List[str], n_devices: int,
-                    platform: str) -> subprocess.CompletedProcess:
-    env = dict(os.environ)
-    flags = env.get("XLA_FLAGS", "")
-    if n_devices > 1 or platform == "cpu":
-        env["XLA_FLAGS"] = (
-            f"{flags} --xla_force_host_platform_device_count="
-            f"{n_devices}").strip()
-        env["GENARCH_PLATFORM"] = "cpu"
-    code = (
-        "import sys, os\n"
-        "import jax\n"
-        "if os.environ.get('GENARCH_PLATFORM'):\n"
-        "    jax.config.update('jax_platforms',"
-        " os.environ['GENARCH_PLATFORM'])\n"
-        "sys.path.insert(0, os.environ.get('GENARCH_REPO', '.'))\n"
-        "from genarchbench_tpu.core.registry import load_runner\n"
-        f"sys.exit(load_runner({name!r})(sys.argv[1:]) or 0)\n")
-    env.setdefault("GENARCH_REPO", os.getcwd())
-    return subprocess.run([sys.executable, "-c", code, *args],
-                          capture_output=True, text=True, env=env,
-                          timeout=int(os.environ.get(
-                              "GENARCH_REGRESS_TIMEOUT", "1800")))
+_RUNNER_CODE = (
+    "import sys, os\n"
+    "import jax\n"
+    "if os.environ.get('GENARCH_PLATFORM'):\n"
+    "    jax.config.update('jax_platforms',"
+    " os.environ['GENARCH_PLATFORM'])\n"
+    "sys.path.insert(0, os.environ.get('GENARCH_REPO', '.'))\n"
+    "from genarchbench_tpu.core.registry import load_runner\n"
+    "name = sys.argv[1]\n"
+    "sys.exit(load_runner(name)(sys.argv[2:]) or 0)\n")
 
 
 def cmd_regress(name: str, cmd_args: List[str], golden: Optional[str],
                 devices: List[int], platform: str,
-                check_rule: Optional[str]) -> int:
+                check_rule: Optional[str],
+                scheduler: Optional[str] = "NONE") -> int:
+    """Device-count sweep through the scheduler harness (the reference's
+    regression_small.sh x run_wrapper.sh pair: each device count is one
+    generated job, checked against the golden in its stage dir)."""
+    from genarchbench_tpu.harness.scheduler import Job, JobRunner
+
     spec = get_kernel(name)
     rule = check_rule or spec.check_rule
     golden_lines = None
@@ -75,30 +66,40 @@ def cmd_regress(name: str, cmd_args: List[str], golden: Optional[str],
         with open(golden) as f:
             golden_lines = f.read().splitlines()
 
-    nfailed = 0
-    njobs = 0
+    def check(stage, res):
+        if golden_lines is None:
+            return True
+        out_lines = (stage / "stdout.txt").read_text().splitlines()
+        v = _apply_rule(rule, out_lines, golden_lines)
+        if not v:
+            print(f"[{name} devices={res.job.devices}] CHECK FAIL "
+                  f"({v.detail})")
+        return bool(v)
+
+    jobs = [Job(name=name,
+                command=[sys.executable, "-c", _RUNNER_CODE, name, *cmd_args],
+                devices=nd,
+                platform="cpu" if (nd > 1 or platform == "cpu") else "",
+                env={"GENARCH_REPO": os.getcwd()},
+                workdir=os.getcwd(),
+                after_run=check)
+            for nd in devices]
+    runner = JobRunner(scheduler=scheduler)
+    results = runner.run(jobs)
+
+    nfailed = sum(not r.ok for r in results)
+    njobs = len(results)
     outputs = {}
-    for nd in devices:
-        njobs += 1
-        t0 = time.perf_counter()
-        r = _run_subprocess(name, cmd_args, nd, platform)
-        wall = time.perf_counter() - t0
-        status = "OK" if r.returncode == 0 else f"EXIT {r.returncode}"
-        timing = next((ln for ln in r.stderr.splitlines() + r.stdout.splitlines()
-                       if ln.startswith(spec.timing_line)), "")
-        out_lines = r.stdout.splitlines()
-        outputs[nd] = out_lines
-        verdict = ""
-        if r.returncode == 0 and golden_lines is not None:
-            res = _apply_rule(rule, out_lines, golden_lines)
-            verdict = "CHECK PASS" if res else f"CHECK FAIL ({res.detail})"
-            if not res:
-                nfailed += 1
-        elif r.returncode != 0:
-            nfailed += 1
-            verdict = r.stderr.splitlines()[-1][:120] if r.stderr else ""
-        print(f"[{name} devices={nd}] {status} wall={wall:.2f}s "
-              f"{timing} {verdict}")
+    for nd, r in zip(devices, results):
+        if r.stage_dir and (r.stage_dir / "stdout.txt").exists():
+            outputs[nd] = (r.stage_dir / "stdout.txt").read_text().splitlines()
+        timing = next(
+            (ln for f in ("stderr.txt", "stdout.txt")
+             if r.stage_dir and (r.stage_dir / f).exists()
+             for ln in (r.stage_dir / f).read_text().splitlines()
+             if ln.startswith(spec.timing_line)), "")
+        print(f"[{name} devices={nd}] "
+              f"{'OK' if r.ok else r.state} wall={r.wall_s:.2f}s {timing}")
 
     # determinism across device counts (the reference's thread sweep
     # doubles as this check)
@@ -156,11 +157,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         p.add_argument("--platform", default="cpu",
                        choices=["cpu", "tpu"])
         p.add_argument("--check", default=None)
+        p.add_argument("--scheduler", default="NONE",
+                       choices=["auto", "NONE", "SLURM", "PJM"],
+                       help="job scheduler (auto = detect, like "
+                            "run_wrapper.sh)")
         a = p.parse_args(argv)
         import shlex
         return cmd_regress(a.kernel, shlex.split(a.cmd), a.golden,
                            [int(x) for x in a.devices.split(",")],
-                           a.platform, a.check)
+                           a.platform, a.check,
+                           scheduler=None if a.scheduler == "auto"
+                           else a.scheduler)
     print(f"unknown command {cmd!r}; try list|run|regress",
           file=sys.stderr)
     return 1
