@@ -113,8 +113,14 @@ def _bpm_distance_device(peq, plen, text, tlen, W):
     return score
 
 
-def bpm_batch(pairs: SeqPairs, max_batch: int = 8192) -> np.ndarray:
-    """Edit distance for every pair; returns (n,) int32 in input order."""
+def bpm_batch(pairs: SeqPairs, max_batch: int = 8192,
+              mesh=None) -> np.ndarray:
+    """Edit distance for every pair; returns (n,) int32 in input order.
+    With a mesh, pairs shard data-parallel along the batch axis (the
+    reference's static-interleaved OMP distribution,
+    bpm/tools/align_benchmark.c:169-204)."""
+    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
     n = len(pairs)
     out = np.zeros(n, np.int32)
     # bucket by (word count, padded text length)
@@ -126,7 +132,7 @@ def bpm_batch(pairs: SeqPairs, max_batch: int = 8192) -> np.ndarray:
     for (W, T), idxs in sorted(buckets.items()):
         for lo in range(0, len(idxs), max_batch):
             chunk = idxs[lo:lo + max_batch]
-            B = next_pow2(len(chunk), 8)
+            B = pad_batch(next_pow2(len(chunk), 8), mesh)
             pats = [pairs.patterns[i] for i in chunk]
             pats += [np.zeros(1, np.uint8)] * (B - len(chunk))
             peq = compile_peq(pats, W)
@@ -137,6 +143,7 @@ def bpm_batch(pairs: SeqPairs, max_batch: int = 8192) -> np.ndarray:
                 t = pairs.texts[i]
                 text[b, :len(t)] = t
                 tlen[b] = len(t)
+            peq, plen, text, tlen = shard_args(mesh, peq, plen, text, tlen)
             score = np.asarray(_bpm_distance_device(peq, plen, text, tlen, W))
             out[chunk] = score[:len(chunk)]
     return out
@@ -157,10 +164,11 @@ def run(argv: Sequence[str]) -> int:
     p.add_argument("-t", dest="threads", type=int, default=1)
     args = p.parse_args(argv)
 
+    from genarchbench_tpu.sharding.mesh import data_mesh
     pairs = read_seqpairs(args.input, swap_longer_first=True)
     roi = ROITimer("bpm", "=> Time.Benchmark      {t:.2f} s")
     with roi:
-        scores = bpm_batch(pairs)
+        scores = bpm_batch(pairs, mesh=data_mesh())
         roi.sync(scores)
     print("[Benchmark]", file=sys.stderr)
     print(f"=> Total.reads            {len(pairs)}", file=sys.stderr)

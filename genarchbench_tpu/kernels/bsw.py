@@ -268,7 +268,8 @@ def _round_up(v: int, m: int) -> int:
 def bsw_batch(pairs: BswPairs, batch_size: int = 512,
               match: int = 1, mismatch: int = 4, ambig: int = -1,
               o_del: int = 6, e_del: int = 1, o_ins: int = 6, e_ins: int = 1,
-              zdrop: int = 100, w: int = 100, end_bonus: int = 5) -> np.ndarray:
+              zdrop: int = 100, w: int = 100, end_bonus: int = 5,
+              mesh=None) -> np.ndarray:
     """Scores for all pairs in input order, replicating the reference's
     batch -> sort-by-len1 -> groups-of-8 pipeline.
 
@@ -305,8 +306,14 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
     myband_all = _myband(all_len2, match, end_bonus, o_ins, e_ins,
                          o_del, e_del, w)
 
+    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
     for (R, C2), rows in sorted(buckets.items()):
         src = np.stack(rows)                                   # (G, LANES)
+        Gp = pad_batch(src.shape[0], mesh)                     # data-parallel
+        if Gp > src.shape[0]:                                  # pad groups
+            src = np.concatenate(
+                [src, np.full((Gp - src.shape[0], LANES), -1)])
         G = src.shape[0]
         valid = src >= 0
         safe = np.where(valid, src, 0)
@@ -326,6 +333,7 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
                 q_ = pairs.quers[sidx]
                 flat1[k, :len(r_)] = r_
                 flat2[k, :len(q_)] = q_
+        s1, s2, L1, L2, H0, MB = shard_args(mesh, s1, s2, L1, L2, H0, MB)
         out = _bsw_device(s1, s2, L1, L2, H0, MB, R=R,
                           match=match, mismatch=mis, ambig=amb,
                           o_del=o_del, e_del=e_del, o_ins=o_ins,
@@ -357,6 +365,7 @@ def run(argv: Sequence[str]) -> int:
     p.add_argument("-ambig", type=int, default=-1)
     args = p.parse_args(argv)
 
+    from genarchbench_tpu.sharding.mesh import data_mesh
     pairs = read_bsw_pairs(args.pairs)
     print(f"Number of input pairs: {len(pairs)}")
     roi = ROITimer("bsw", "Overall SW cycles = 0, {t:.2f} s")
@@ -364,7 +373,7 @@ def run(argv: Sequence[str]) -> int:
         scores = bsw_batch(pairs, batch_size=args.batch,
                            match=args.match, mismatch=args.mismatch,
                            ambig=args.ambig, o_del=args.gapo, e_del=args.gape,
-                           o_ins=args.gapo, e_ins=args.gape)
+                           o_ins=args.gapo, e_ins=args.gape, mesh=data_mesh())
         roi.sync(scores)
     for i, s in enumerate(scores):
         print(f"[{i}] score={s}", file=sys.stderr)

@@ -134,13 +134,17 @@ def _chain_dp_device(x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
 
 def chain_batch(records: Sequence[chain_io.ChainRecord],
                 with_heuristics: bool = True,
-                cell_budget: int = 1 << 22) -> List[tuple]:
-    """Run chain_dp over records; returns [(scores, parents, peaks)] in order."""
+                cell_budget: int = 1 << 22, mesh=None) -> List[tuple]:
+    """Run chain_dp over records; returns [(scores, parents, peaks)] in
+    order.  With a mesh, records shard data-parallel along the batch axis
+    (the OMP-dynamic-for equivalent, chain/src/host_kernel.cpp:98-107)."""
+    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
     results: List[tuple] = [None] * len(records)
     plans = plan_batches([r.n for r in records], cell_budget=cell_budget)
     for plan in plans:
         recs = [records[k] for k in plan.indices]
-        B, N = plan.batch, plan.length
+        B, N = pad_batch(plan.batch, mesh), plan.length
         x_lo = pad_stack([r.x_lo for r in recs], B, N, dtype=np.uint32)
         qi = pad_stack([r.qi for r in recs], B, N, dtype=np.int32)
         span = pad_stack([r.q_span for r in recs], B, N, dtype=np.int32)
@@ -162,11 +166,14 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
         for b, r in enumerate(recs):
             clin[b] = clin_table(r.avg_qspan, t_size)
 
-        zeros = lambda: jnp.zeros((B, N), jnp.int32)
+        (x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin) = shard_args(
+            mesh, x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin)
+        zeros = lambda: np.zeros((B, N), np.int32)
+        neg = lambda: np.full((B, N), -1, np.int32)
+        z, p0, t0, pk0 = shard_args(mesh, zeros(), neg(), neg(), zeros())
         scores, parents, peaks = _chain_dp_device(
             x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
-            zeros(), jnp.full((B, N), -1, jnp.int32), jnp.full((B, N), -1, jnp.int32),
-            zeros(), with_heuristics=with_heuristics)
+            z, p0, t0, pk0, with_heuristics=with_heuristics)
         scores = np.asarray(scores)
         parents = np.asarray(parents)
         peaks = np.asarray(peaks)
@@ -189,9 +196,10 @@ def run(argv: Sequence[str]) -> int:
     with open(args.input) as f:
         records = list(chain_io.read_records(f))
 
+    from genarchbench_tpu.sharding.mesh import data_mesh
     roi = ROITimer("chain", "Time in kernel: {t:.2f} sec")
     with roi:
-        results = chain_batch(records)
+        results = chain_batch(records, mesh=data_mesh())
     roi.report()
 
     with open(args.output, "w") as f:

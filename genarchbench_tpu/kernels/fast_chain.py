@@ -18,7 +18,6 @@ from __future__ import annotations
 import sys
 from typing import List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from genarchbench_tpu.core.roi import ROITimer
@@ -35,12 +34,14 @@ def clin_table_f32(avg_qspan: float, size: int) -> np.ndarray:
 
 
 def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
-                     cell_budget: int = 1 << 22) -> List[tuple]:
+                     cell_budget: int = 1 << 22, mesh=None) -> List[tuple]:
+    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
     results: List[tuple] = [None] * len(records)
     plans = plan_batches([r.n for r in records], cell_budget=cell_budget)
     for plan in plans:
         recs = [records[k] for k in plan.indices]
-        B, N = plan.batch, plan.length
+        B, N = pad_batch(plan.batch, mesh), plan.length
         x_lo = pad_stack([r.x_lo for r in recs], B, N, dtype=np.uint32)
         qi = pad_stack([r.qi for r in recs], B, N, dtype=np.int32)
         span = pad_stack([r.q_span for r in recs], B, N, dtype=np.int32)
@@ -61,11 +62,14 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
         for b, r in enumerate(recs):
             clin[b] = clin_table_f32(r.avg_qspan, t_size)
 
+        (x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin) = shard_args(
+            mesh, x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin)
+        z, p0, t0, pk0 = shard_args(
+            mesh, np.zeros((B, N), np.int32), np.full((B, N), -1, np.int32),
+            np.full((B, N), -1, np.int32), np.zeros((B, N), np.int32))
         scores, parents, peaks = _chain_dp_device(
             x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
-            jnp.zeros((B, N), jnp.int32), jnp.full((B, N), -1, jnp.int32),
-            jnp.full((B, N), -1, jnp.int32), jnp.zeros((B, N), jnp.int32),
-            with_heuristics=False)
+            z, p0, t0, pk0, with_heuristics=False)
         scores = np.asarray(scores)
         parents = np.asarray(parents)
         peaks = np.asarray(peaks)
@@ -88,9 +92,10 @@ def run(argv: Sequence[str]) -> int:
     with open(args.input) as f:
         records = list(chain_io.read_records(f))
 
+    from genarchbench_tpu.sharding.mesh import data_mesh
     roi = ROITimer("fast-chain", "Time in kernel: {t:.2f} sec")
     with roi:
-        results = fast_chain_batch(records)
+        results = fast_chain_batch(records, mesh=data_mesh())
     roi.report()
 
     with open(args.output, "w") as f:

@@ -382,8 +382,13 @@ def _assemble_cigar(gaps, nmats, ops, fm, fd, fi, nsteps) -> str:
 
 
 def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
-              max_batch: int = 128, scap0: int = 64) -> List[str]:
-    """RLE CIGAR per pair in input order (complete-wavefronts mode)."""
+              max_batch: int = 128, scap0: int = 64, mesh=None) -> List[str]:
+    """RLE CIGAR per pair in input order (complete-wavefronts mode).
+    With a mesh, pairs shard data-parallel along the batch axis; the
+    lock-step score loop's global `any(active)` condition becomes an
+    all-reduce XLA inserts automatically."""
+    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
     n = len(pairs)
     out: List[str] = [""] * n
     buckets = defaultdict(list)
@@ -399,7 +404,7 @@ def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
             retry: List[int] = []
             for lo_i in range(0, len(pending), max_batch):
                 chunk = pending[lo_i:lo_i + max_batch]
-                B = _round_up(len(chunk), 8)
+                B = pad_batch(_round_up(len(chunk), 8), mesh)
                 pat = np.full((B, Lp), 250, np.int32)
                 txt = np.full((B, Lt), 251, np.int32)
                 plen = np.zeros(B, np.int32)
@@ -411,6 +416,7 @@ def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
                     plen[b], tlen[b] = len(p_), len(t_)
                 K0 = max(Lp, scap + 2)
                 D = _round_up(K0 + max(Lt, scap + 2) + 2, 128)
+                pat, txt, plen, tlen = shard_args(mesh, pat, txt, plen, tlen)
                 res = _wfa_forward(pat, txt, plen, tlen, K0=K0, D=D,
                                    Scap=scap, x=x, o=o, e=e)
                 (done, fscore, nsteps, gaps, nmats, opsr,
@@ -443,11 +449,12 @@ def run(argv: Sequence[str]) -> int:
     p.add_argument("-G", dest="gap_extension", type=int, default=2)
     args = p.parse_args(argv)
 
+    from genarchbench_tpu.sharding.mesh import data_mesh
     pairs = read_seqpairs(args.input, swap_longer_first=False)
     roi = ROITimer("wfa", "Time.Alignment: {t:f} s")
     with roi:
         cigars = wfa_batch(pairs, x=args.mismatch, o=args.gap_opening,
-                           e=args.gap_extension)
+                           e=args.gap_extension, mesh=data_mesh())
     print(f"Total.reads: {len(pairs)}")
     roi.report(file=sys.stdout)
     if args.output:
