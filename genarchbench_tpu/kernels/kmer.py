@@ -369,22 +369,8 @@ def build_minimizer_index(reads: ReadSet, k: int, window: int,
 
 def parse_config(path: str) -> dict:
     """Flye key=value config with %include (kmer-cnt/config.h)."""
-    import os
-    cfg: dict = {}
-    with open(path) as f:
-        for line in f:
-            line = line.split("#")[0].strip()
-            if not line:
-                continue
-            if line.startswith("%include"):
-                inc = line.split(None, 1)[1].strip()
-                cfg.update(parse_config(
-                    os.path.join(os.path.dirname(path), inc)))
-                continue
-            if "=" in line:
-                key, val = (t.strip() for t in line.split("=", 1))
-                cfg[key] = val
-    return cfg
+    from genarchbench_tpu.core.config import load_kv_config
+    return load_kv_config(path)
 
 
 def run(argv: Sequence[str]) -> int:
