@@ -152,6 +152,150 @@ def convert_keras_weights(weights: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# full-alignment model Clair3_F (clair3/model.py:295-440): residual CNN over
+# the (depth, 33 positions, 8 channels) full-alignment tensor
+# ---------------------------------------------------------------------------
+
+FA_CHANNELS = 8            # shared/param_f.py:21-24
+FA_DEPTH_ONT = 89          # matrix_depth_dict['ont'], param_f.py:10
+FA_NORMALIZE = 100.0       # NORMALIZE_NUM, param_f.py:34
+
+
+class BasicConv2D(nn.Module):
+    """Conv 3x3 + BatchNorm + ReLU (model.py:189-206).  Inference-mode
+    BN (moving statistics), like the reference's predict path."""
+    filters: int
+    strides: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.filters, (3, 3), strides=self.strides,
+                    padding="SAME", name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="bn")(x)
+        return jax.nn.relu(x)
+
+
+class BasicBlock(nn.Module):
+    """Residual block (model.py:208-247), stride 1 (identity shortcut,
+    the only configuration Clair3_F instantiates)."""
+    filters: int
+
+    @nn.compact
+    def __call__(self, x):
+        r = x
+        x = nn.Conv(self.filters, (3, 3), padding="SAME", name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="bn1")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.filters, (3, 3), padding="SAME", name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="bn2")(x)
+        return jax.nn.relu(r + x)
+
+
+def _pyramid_pooling(x, pool_sizes=(3, 2, 1)):
+    """PyramidPolling (model.py:260-293): SAME max-pool with
+    window == stride == ceil(dim / p), flattened and concatenated."""
+    B, H, W, C = x.shape
+    parts = []
+    for p in pool_sizes:
+        wh = -(-H // p)
+        ww = -(-W // p)
+        pooled = nn.max_pool(x, (wh, ww), strides=(wh, ww), padding="SAME")
+        parts.append(pooled.reshape(B, -1))
+    return jnp.concatenate(parts, axis=-1)
+
+
+class Clair3F(nn.Module):
+    """Full-alignment residual CNN (model.py:295-440, predict mode)."""
+    add_indel_length: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(jnp.float32) / FA_NORMALIZE
+        x = BasicConv2D(64, strides=2, name="conv1")(x)
+        x = BasicBlock(64, name="res_block1")(x)
+        x = BasicConv2D(128, strides=2, name="conv3")(x)
+        x = BasicBlock(128, name="res_block2")(x)
+        x = BasicConv2D(256, strides=2, name="conv5")(x)
+        x = BasicBlock(256, name="res_block3")(x)
+        x = _pyramid_pooling(x)
+        x = jax.nn.selu(nn.Dense(256, name="L4")(x))   # L4_num_units=256
+        h1 = jax.nn.selu(nn.Dense(128, name="L5_1")(x))
+        h2 = jax.nn.selu(nn.Dense(128, name="L5_2")(x))
+        outs = [
+            jax.nn.softmax(jax.nn.selu(nn.Dense(GT21_SIZE,
+                                                name="Y_gt21")(h1))),
+            jax.nn.softmax(jax.nn.selu(nn.Dense(GENOTYPE_SIZE,
+                                                name="Y_genotype")(h2))),
+        ]
+        if self.add_indel_length:
+            h3 = jax.nn.selu(nn.Dense(128, name="L5_3")(x))
+            h4 = jax.nn.selu(nn.Dense(128, name="L5_4")(x))
+            outs.append(jax.nn.softmax(jax.nn.selu(
+                nn.Dense(NO_OF_POSITIONS, name="Y_len1")(h3))))
+            outs.append(jax.nn.softmax(jax.nn.selu(
+                nn.Dense(NO_OF_POSITIONS, name="Y_len2")(h4))))
+        return jnp.concatenate(outs, axis=1)
+
+
+def convert_keras_weights_full(weights: Dict[str, np.ndarray],
+                               add_indel_length: bool = True
+                               ) -> Dict[str, Any]:
+    """Keras Clair3_F checkpoint arrays -> flax variables.
+
+    Key scheme mirrors the layer names: 'conv1/conv/kernel',
+    'conv1/bn/{gamma,beta,moving_mean,moving_variance}',
+    'res_block1/conv1/kernel', ..., dense 'L4/kernel' etc.  Keras conv
+    kernels are (kh, kw, cin, cout) — flax's native layout."""
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    def conv(dst, src):
+        params.setdefault(dst, {})["conv"] = {
+            "kernel": weights[f"{src}/conv/kernel"],
+            "bias": weights.get(f"{src}/conv/bias",
+                                np.zeros(weights[f"{src}/conv/kernel"]
+                                         .shape[-1], np.float32))}
+        params[dst]["bn"] = {"scale": weights[f"{src}/bn/gamma"],
+                             "bias": weights[f"{src}/bn/beta"]}
+        batch_stats.setdefault(dst, {})["bn"] = {
+            "mean": weights[f"{src}/bn/moving_mean"],
+            "var": weights[f"{src}/bn/moving_variance"]}
+
+    def block(dst, src):
+        p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        for i in (1, 2):
+            p[f"conv{i}"] = {
+                "kernel": weights[f"{src}/conv{i}/kernel"],
+                "bias": weights.get(f"{src}/conv{i}/bias",
+                                    np.zeros(weights[f"{src}/conv{i}/kernel"]
+                                             .shape[-1], np.float32))}
+            p[f"bn{i}"] = {"scale": weights[f"{src}/bn{i}/gamma"],
+                           "bias": weights[f"{src}/bn{i}/beta"]}
+            s[f"bn{i}"] = {"mean": weights[f"{src}/bn{i}/moving_mean"],
+                           "var": weights[f"{src}/bn{i}/moving_variance"]}
+        params[dst] = p
+        batch_stats[dst] = s
+
+    conv("conv1", "conv1")
+    block("res_block1", "res_block1")
+    conv("conv3", "conv3")
+    block("res_block2", "res_block2")
+    conv("conv5", "conv5")
+    block("res_block3", "res_block3")
+    for name in (["L4", "L5_1", "L5_2", "Y_gt21", "Y_genotype"] +
+                 (["L5_3", "L5_4", "Y_len1", "Y_len2"]
+                  if add_indel_length else [])):
+        params[name] = {"kernel": weights[f"{name}/kernel"],
+                        "bias": weights[f"{name}/bias"]}
+    return {"params": jax.tree.map(jnp.asarray, params),
+            "batch_stats": jax.tree.map(jnp.asarray, batch_stats)}
+
+
+# ---------------------------------------------------------------------------
 # pileup tensor generation (CreateTensorPileup.py equivalent, simplified)
 # ---------------------------------------------------------------------------
 
@@ -206,6 +350,147 @@ def pileup_tensor_from_bam(records, chrom_id: int, center: int,
 
 
 # ---------------------------------------------------------------------------
+# full-alignment tensor generation (CreateTensorFullAlignment.py
+# equivalent, simplified) + read-backed het phasing (whatshap stage stand-in)
+# ---------------------------------------------------------------------------
+
+_BASE_CODE = {"A": 25, "C": 50, "G": 75, "T": 100}
+
+
+def phase_hets(records, het_positions, het_alts, chrom_id: int):
+    """Greedy read-graph 2-coloring over het SNPs: the role whatshap
+    phase + haplotag plays in the pipeline (Clair3/scripts/clair3.sh
+    :173-194).  Returns {read_name: 1|2} haplotags."""
+    from genarchbench_tpu.kernels.pileup import FILTER_FLAGS
+    pos_alt = dict(zip(het_positions, het_alts))
+    # haplotype 1 votes per read: +1 if read carries ref, -1 if alt —
+    # seeded by the first het; later hets follow accumulated assignments
+    tags: Dict[str, int] = {}
+    for p in sorted(pos_alt):
+        votes = 0.0
+        carriers = []
+        for r in records:
+            if r.ref_id != chrom_id or (r.flag & FILTER_FLAGS):
+                continue
+            if not (r.pos <= p < r.pos + r.ref_span()):
+                continue
+            qpos = _qpos_at(r, p)
+            if qpos is None:
+                continue
+            has_alt = r.seq[qpos].upper() == pos_alt[p]
+            carriers.append((r.qname, has_alt))
+            if r.qname in tags:
+                votes += (1 if tags[r.qname] == 2 else -1) * \
+                    (1 if has_alt else -1)
+        orient = 1 if votes >= 0 else -1
+        for qname, has_alt in carriers:
+            if qname not in tags:
+                hap2 = has_alt if orient > 0 else not has_alt
+                tags[qname] = 2 if hap2 else 1
+    return tags
+
+
+def _qpos_at(r, p: int) -> Optional[int]:
+    """Query offset aligned at reference position p (None in deletions)."""
+    from genarchbench_tpu.kernels.pileup import _read_events
+    pos, is_del, is_skip, qpos, _ = _read_events(r)
+    for pp, d, sk, q in zip(pos, is_del, is_skip, qpos):
+        if pp == p:
+            return None if (d or sk) else q
+    return None
+
+
+def full_alignment_tensor(records, chrom_id: int, center: int,
+                          ref_seq: str, haplotags: Optional[Dict[str, int]]
+                          = None, depth: int = FA_DEPTH_ONT) -> np.ndarray:
+    """(depth, 33, 8) full-alignment tensor around `center`, one row per
+    spanning read (channel order shared/param_f.py:21-24:
+    reference_base, alternative_base, mapping_quality, base_quality,
+    strand_info, variant_type, insert_base, phasing_info), values on the
+    reference's 0-100 scale (NORMALIZE_NUM)."""
+    from genarchbench_tpu.kernels.pileup import FILTER_FLAGS, _read_events
+    t = np.zeros((depth, NO_OF_POSITIONS, FA_CHANNELS), np.int32)
+    lo = center - FLANKING
+    hi = center + FLANKING + 1
+    ref_row = np.zeros(NO_OF_POSITIONS, np.int32)
+    for col, p in enumerate(range(lo, hi)):
+        if 0 <= p < len(ref_seq):
+            ref_row[col] = _BASE_CODE.get(ref_seq[p].upper(), 0)
+    row = 0
+    for r in records:
+        if row >= depth:
+            break
+        if r.ref_id != chrom_id or (r.flag & FILTER_FLAGS) or r.mapq < 5:
+            continue
+        if not (r.pos <= center < r.pos + r.ref_span()):
+            continue
+        t[row, :, 0] = ref_row
+        t[row, :, 2] = min(int(r.mapq), 100)
+        t[row, :, 4] = 50 if r.is_reverse else 100
+        if haplotags and r.qname in haplotags:
+            t[row, :, 7] = 50 * haplotags[r.qname]
+        pos, is_del, is_skip, qpos, indel = _read_events(r)
+        for p, d, sk, q, ind in zip(pos, is_del, is_skip, qpos, indel):
+            if p < lo or p >= hi or sk:
+                continue
+            col = p - lo
+            if d:
+                t[row, col, 5] = 75                      # deletion body
+                continue
+            b = _BASE_CODE.get(r.seq[q].upper(), 0)
+            if b and b != ref_row[col]:
+                t[row, col, 1] = b                       # alternative base
+            t[row, col, 3] = min(int(r.qual[q]), 100)
+            if ind > 0:
+                t[row, col, 5] = 50                      # insertion start
+                t[row, col, 6] = _BASE_CODE.get(
+                    r.seq[q + 1].upper(), 0)
+            elif ind < 0:
+                t[row, col, 5] = 25                      # deletion start
+            elif b and b != ref_row[col]:
+                t[row, col, 5] = 100                     # SNP
+        row += 1
+    return t
+
+
+@dataclasses.dataclass
+class FullAlignmentCaller:
+    """Clair3_F inference wrapper (the stage-6 caller,
+    clair3.sh:224-240)."""
+    variables: Dict[str, Any]
+    add_indel_length: bool = True
+
+    def __post_init__(self):
+        self.model = Clair3F(add_indel_length=self.add_indel_length)
+        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    @classmethod
+    def init(cls, seed: int = 0, add_indel_length: bool = True,
+             depth: int = FA_DEPTH_ONT):
+        model = Clair3F(add_indel_length=add_indel_length)
+        x = jnp.zeros((1, depth, NO_OF_POSITIONS, FA_CHANNELS))
+        return cls(model.init(jax.random.PRNGKey(seed), x),
+                   add_indel_length)
+
+    def predict(self, tensors: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fwd(self.variables, jnp.asarray(tensors)))
+
+
+def merge_vcf_rows(pileup_rows: List[str], fa_rows: List[str],
+                   examined_pos: Optional[set] = None) -> List[str]:
+    """MergeVcf semantics (clair3.sh:267-280): at every position the
+    full-alignment stage examined, its decision wins (including "no
+    variant": an examined position with no FA row drops the pileup
+    call); other pileup calls pass through.  Rows stay sorted."""
+    examined = set(examined_pos or ()) | {
+        int(r.split("\t")[1]) for r in fa_rows}
+    merged = [r for r in pileup_rows
+              if int(r.split("\t")[1]) not in examined] + fa_rows
+    return sorted(merged, key=lambda r: (r.split("\t")[0],
+                                         int(r.split("\t")[1])))
+
+
+# ---------------------------------------------------------------------------
 # variant calling output
 # ---------------------------------------------------------------------------
 
@@ -249,23 +534,30 @@ class PileupCaller:
                       qual_cutoff=0.0):
         """VCF rows for candidate positions (CallVariants.py pileup
         output shape: CHROM POS ID REF ALT QUAL FILTER INFO FORMAT)."""
-        probs = self.predict(tensors)
-        rows = []
-        for k, pos in enumerate(positions):
-            gt21 = probs[k, :GT21_SIZE]
-            geno = probs[k, GT21_SIZE:GT21_SIZE + GENOTYPE_SIZE]
-            gi = int(np.argmax(gt21))
-            label = GT21_LABELS[gi]
-            ref, alt, gt = gt21_to_alleles(label, ref_bases[k])
-            if alt == ".":
-                continue
-            qual = float(gt21[gi]) * float(np.max(geno))
-            if qual < qual_cutoff:
-                continue
-            q10 = min(99.0, -10.0 * np.log10(max(1e-10, 1 - qual)))
-            rows.append(f"{chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t"
-                        f"{q10:.2f}\tPASS\t.\tGT\t{gt}")
-        return rows
+        return rows_from_probs(self.predict(tensors), positions,
+                               ref_bases, chrom, qual_cutoff)
+
+
+def rows_from_probs(probs, positions, ref_bases, chrom,
+                    qual_cutoff=0.0) -> List[str]:
+    """gt21/genotype head probabilities -> VCF rows (shared by the
+    pileup and full-alignment callers)."""
+    rows = []
+    for k, pos in enumerate(positions):
+        gt21 = probs[k, :GT21_SIZE]
+        geno = probs[k, GT21_SIZE:GT21_SIZE + GENOTYPE_SIZE]
+        gi = int(np.argmax(gt21))
+        label = GT21_LABELS[gi]
+        ref, alt, gt = gt21_to_alleles(label, ref_bases[k])
+        if alt == ".":
+            continue
+        qual = float(gt21[gi]) * float(np.max(geno))
+        if qual < qual_cutoff:
+            continue
+        q10 = min(99.0, -10.0 * np.log10(max(1e-10, 1 - qual)))
+        rows.append(f"{chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t"
+                    f"{q10:.2f}\tPASS\t.\tGT\t{gt}")
+    return rows
 
 
 def run(argv: Sequence[str]) -> int:
@@ -280,6 +572,14 @@ def run(argv: Sequence[str]) -> int:
     p.add_argument("--output", default=None)
     p.add_argument("--model", default=None)
     p.add_argument("--min_af", type=float, default=0.25)
+    p.add_argument("--full-alignment", dest="full_alignment",
+                   action="store_true",
+                   help="run the Clair3_F full-alignment stage on "
+                        "low-quality pileup calls (clair3.sh:211-240)")
+    p.add_argument("--fa-model", dest="fa_model", default=None)
+    p.add_argument("--fa-qual", dest="fa_qual", type=float, default=30.0,
+                   help="pileup QUAL below which a call is re-examined "
+                        "by the full-alignment model")
     args = p.parse_args(argv)
 
     chrom, beg, end = parse_region(args.region)
@@ -332,6 +632,36 @@ def run(argv: Sequence[str]) -> int:
         roi_lines = caller.call_variants(
             tensors, [p_ for p_, _ in cands],
             [b for _, b in cands], chrom)
+
+    if args.full_alignment and roi_lines:
+        # stages 2-4 (phase hets) + 5 (select low-qual) + 6 (Clair3_F)
+        # + 7 (merge), clair3.sh:173-280
+        hets = [(int(r.split("\t")[1]) - 1, r.split("\t")[4])
+                for r in roi_lines
+                if r.split("\t")[9] == "0/1" and len(r.split("\t")[4]) == 1]
+        tags = phase_hets(records, [h[0] for h in hets],
+                          [h[1] for h in hets], cid) if hets else {}
+        sel = [r for r in roi_lines
+               if float(r.split("\t")[5]) < args.fa_qual]
+        if sel:
+            if args.fa_model:
+                z = np.load(args.fa_model)
+                fa_caller = FullAlignmentCaller(
+                    convert_keras_weights_full(dict(z)))
+            else:
+                fa_caller = FullAlignmentCaller.init()
+            sel_pos = [int(r.split("\t")[1]) - 1 for r in sel]
+            fa_tensors = np.stack([
+                full_alignment_tensor(records, cid, pos, ref_seq, tags)
+                for pos in sel_pos])
+            fa_rows = rows_from_probs(
+                fa_caller.predict(fa_tensors), sel_pos,
+                [ref_seq[p_].upper() for p_ in sel_pos], chrom)
+            roi_lines = merge_vcf_rows(
+                roi_lines, fa_rows,
+                examined_pos={p_ + 1 for p_ in sel_pos})
+            print(f"[INFO] full-alignment re-called {len(sel)} sites "
+                  f"({len(tags)} reads haplotagged)", file=sys.stderr)
 
     out = open(args.output, "w") if args.output else sys.stdout
     out.write("##fileformat=VCFv4.2\n")

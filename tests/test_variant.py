@@ -117,3 +117,191 @@ def test_pipeline_on_synthetic_snp(tmp_path):
         tensor[var.FLANKING, ch[alt.lower()]]
     assert alt_count == sum(1 for r in records
                             if r.pos <= 200 < r.pos + 150)
+
+
+# ---------------------------------------------------------------------------
+# Clair3_F full-alignment stage
+# ---------------------------------------------------------------------------
+
+def test_clair3f_shapes_and_softmax():
+    caller = var.FullAlignmentCaller.init()
+    x = np.random.default_rng(4).integers(
+        0, 100, size=(2, var.FA_DEPTH_ONT, var.NO_OF_POSITIONS,
+                      var.FA_CHANNELS)).astype(np.float32)
+    out = caller.predict(x)
+    assert out.shape == (2, 21 + 3 + 33 + 33)
+    np.testing.assert_allclose(out[:, :21].sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(out[:, 21:24].sum(-1), 1.0, rtol=1e-5)
+
+
+def test_basic_conv2d_matches_torch_same_stride2():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    B, H, W, Cin, Cout = 2, 9, 7, 3, 4
+    x = rng.normal(size=(B, H, W, Cin)).astype(np.float32)
+    k = rng.normal(size=(3, 3, Cin, Cout)).astype(np.float32) * 0.2
+    gamma = rng.normal(size=Cout).astype(np.float32)
+    beta = rng.normal(size=Cout).astype(np.float32)
+    mean = rng.normal(size=Cout).astype(np.float32) * 0.1
+    varr = rng.uniform(0.5, 2.0, size=Cout).astype(np.float32)
+
+    # torch: TF-SAME for stride 2 pads (pad_beg, pad_end) per dim with
+    # pad_total = max((ceil(d/2)-1)*2 + 3 - d, 0), beg = total // 2
+    def same_pad(d):
+        out = -(-d // 2)
+        total = max((out - 1) * 2 + 3 - d, 0)
+        return total // 2, total - total // 2
+
+    ph = same_pad(H)
+    pw = same_pad(W)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    xt = F.pad(xt, (pw[0], pw[1], ph[0], ph[1]))
+    with torch.no_grad():
+        yt = F.conv2d(xt, torch.from_numpy(k.transpose(3, 2, 0, 1)),
+                      stride=2)
+        yt = F.batch_norm(yt, torch.from_numpy(mean),
+                          torch.from_numpy(varr),
+                          torch.from_numpy(gamma), torch.from_numpy(beta),
+                          training=False, eps=1e-3)
+        yt = F.relu(yt).numpy().transpose(0, 2, 3, 1)
+
+    m = var.BasicConv2D(Cout, strides=2)
+    variables = {
+        "params": {"conv": {"kernel": jnp.asarray(k),
+                            "bias": jnp.zeros(Cout)},
+                   "bn": {"scale": jnp.asarray(gamma),
+                          "bias": jnp.asarray(beta)}},
+        "batch_stats": {"bn": {"mean": jnp.asarray(mean),
+                               "var": jnp.asarray(varr)}}}
+    ours = np.asarray(m.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, yt, atol=1e-5)
+
+
+def test_clair3f_weight_conversion_roundtrip():
+    rng = np.random.default_rng(6)
+    w = {}
+
+    def conv(name, cin, cout):
+        w[f"{name}/conv/kernel"] = rng.normal(
+            size=(3, 3, cin, cout)).astype(np.float32) * 0.05
+        w[f"{name}/conv/bias"] = np.zeros(cout, np.float32)
+        w[f"{name}/bn/gamma"] = np.ones(cout, np.float32)
+        w[f"{name}/bn/beta"] = np.zeros(cout, np.float32)
+        w[f"{name}/bn/moving_mean"] = np.zeros(cout, np.float32)
+        w[f"{name}/bn/moving_variance"] = np.ones(cout, np.float32)
+
+    def block(name, c):
+        for i in (1, 2):
+            w[f"{name}/conv{i}/kernel"] = rng.normal(
+                size=(3, 3, c, c)).astype(np.float32) * 0.05
+            w[f"{name}/conv{i}/bias"] = np.zeros(c, np.float32)
+            w[f"{name}/bn{i}/gamma"] = np.ones(c, np.float32)
+            w[f"{name}/bn{i}/beta"] = np.zeros(c, np.float32)
+            w[f"{name}/bn{i}/moving_mean"] = np.zeros(c, np.float32)
+            w[f"{name}/bn{i}/moving_variance"] = np.ones(c, np.float32)
+
+    conv("conv1", var.FA_CHANNELS, 64)
+    block("res_block1", 64)
+    conv("conv3", 64, 128)
+    block("res_block2", 128)
+    conv("conv5", 128, 256)
+    block("res_block3", 256)
+    # pyramid pooling over (89,33)->(45,17)->(23,9)->(12,5): (9+4+1)*256
+    for name, fin, fout in [("L4", 14 * 256, 256), ("L5_1", 256, 128),
+                            ("L5_2", 256, 128), ("L5_3", 256, 128),
+                            ("L5_4", 256, 128), ("Y_gt21", 128, 21),
+                            ("Y_genotype", 128, 3), ("Y_len1", 128, 33),
+                            ("Y_len2", 128, 33)]:
+        w[f"{name}/kernel"] = rng.normal(
+            size=(fin, fout)).astype(np.float32) * 0.05
+        w[f"{name}/bias"] = np.zeros(fout, np.float32)
+    caller = var.FullAlignmentCaller(var.convert_keras_weights_full(w))
+    out = caller.predict(np.zeros(
+        (1, var.FA_DEPTH_ONT, 33, var.FA_CHANNELS), np.float32))
+    assert out.shape == (1, 90) and np.isfinite(out).all()
+
+
+def _two_hap_records(rng, ref, het_sites):
+    """Reads from two haplotypes differing at het_sites (pos -> alt)."""
+    from genarchbench_tpu.io import bam_io
+    records = []
+    for i in range(40):
+        hap = i % 2
+        pos = int(rng.integers(0, 100))
+        ln = 200
+        s = list(ref[pos:pos + ln])
+        if hap:
+            for p, alt in het_sites.items():
+                if pos <= p < pos + ln:
+                    s[p - pos] = alt
+        records.append(bam_io.BamRecord(
+            f"r{i}", 0, 0, pos, 40, [(0, ln)], "".join(s),
+            np.full(ln, 30, np.uint8)))
+    records.sort(key=lambda r: r.pos)
+    return records
+
+
+def test_phase_hets_two_haplotypes():
+    rng = np.random.default_rng(7)
+    ref = "".join("ACGT"[c] for c in rng.integers(0, 4, 400))
+    sites = {}
+    for p in (150, 180, 220):
+        sites[p] = "A" if ref[p] != "A" else "C"
+    records = _two_hap_records(rng, ref, sites)
+    tags = var.phase_hets(records, sorted(sites), [sites[p] for p in
+                                                   sorted(sites)], 0)
+    # every read spanning a het got a tag, and tags split by haplotype
+    by_hap = {1: set(), 2: set()}
+    for r in records:
+        if r.qname in tags:
+            by_hap[tags[r.qname]].add(int(r.qname[1:]) % 2)
+    assert len(by_hap[1]) == 1 and len(by_hap[2]) == 1
+    assert by_hap[1] != by_hap[2]
+
+
+def test_full_alignment_tensor_channels():
+    rng = np.random.default_rng(8)
+    ref = "".join("ACGT"[c] for c in rng.integers(0, 4, 400))
+    alt = "A" if ref[200] != "A" else "G"
+    records = _two_hap_records(rng, ref, {200: alt})
+    t = var.full_alignment_tensor(records, 0, 200, ref)
+    spanning = sum(1 for r in records if r.pos <= 200 < r.pos + 200)
+    used = min(spanning, var.FA_DEPTH_ONT)
+    # ref-base channel set on every used row at the center column
+    center = var.FLANKING
+    assert (t[:used, center, 0] == var._BASE_CODE[ref[200]]).all()
+    # half the rows carry the alt in channel 1 (alternative base)
+    n_alt = int((t[:used, center, 1] == var._BASE_CODE[alt]).sum())
+    assert 0 < n_alt < used
+    # strand/mapq channels populated
+    assert set(np.unique(t[:used, center, 2])) == {40}
+
+
+def test_merge_vcf_rows_examined_wins():
+    pile = ["c1\t10\t.\tA\tC\t20.00\tPASS\t.\tGT\t0/1",
+            "c1\t50\t.\tG\tT\t40.00\tPASS\t.\tGT\t1/1"]
+    fa = ["c1\t10\t.\tA\tC\t35.00\tPASS\t.\tGT\t1/1"]
+    merged = var.merge_vcf_rows(pile, fa, examined_pos={10, 50})
+    # pos 10 replaced by FA row; pos 50 examined with no FA row -> dropped
+    assert merged == fa
+
+
+def test_pipeline_full_alignment_end_to_end(tmp_path):
+    from genarchbench_tpu.io import bam_io
+    rng = np.random.default_rng(9)
+    ref_len = 400
+    ref = "".join("ACGT"[c] for c in rng.integers(0, 4, ref_len))
+    fa_path = tmp_path / "ref.fa"
+    fa_path.write_text(f">c1\n{ref}\n")
+    alt = "A" if ref[200] != "A" else "G"
+    records = _two_hap_records(rng, ref, {200: alt})
+    bam = tmp_path / "x.bam"
+    bam_io.write_bam(str(bam), [("c1", ref_len)], records)
+    out = tmp_path / "out.vcf"
+    rc = var.run(["--bam", str(bam), "--ref", str(fa_path),
+                  "--region", "c1:1-400", "--output", str(out),
+                  "--full-alignment", "--fa-qual", "100"])
+    assert rc == 0
+    assert out.read_text().startswith("##fileformat=VCF")
