@@ -176,8 +176,7 @@ def measure_child(kernel: str, platform: str):
     elif kernel == "chain":
         from genarchbench_tpu.io import chain_io
         from genarchbench_tpu.kernels.chain import chain_batch
-        with open(paths["chain"]) as f:
-            records = list(chain_io.read_records(f))
+        records = chain_io.read_records_path(str(paths["chain"]))
         chain_batch(records)
         t0 = time.perf_counter()
         chain_batch(records)

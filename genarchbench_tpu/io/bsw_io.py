@@ -32,6 +32,14 @@ class BswPairs:
 
 
 def read_bsw_pairs(path: str) -> BswPairs:
+    from genarchbench_tpu import native
+    res = native.bsw_native(path)
+    if res is not None:
+        return BswPairs(*res)
+    return _read_bsw_pairs_py(path)
+
+
+def _read_bsw_pairs_py(path: str) -> BswPairs:
     h0s, refs, quers = [], [], []
     with open(path) as f:
         while True:

@@ -68,6 +68,16 @@ class ChainRecord:
         return np.minimum(st, np.arange(n, dtype=np.int64)).astype(np.int32)
 
 
+def read_records_path(path: str) -> List[ChainRecord]:
+    """Read a chain file by path, via the native tokenizer when built."""
+    from genarchbench_tpu import native
+    res = native.chain_native(path)
+    if res is not None:
+        return [ChainRecord(*rec) for rec in res]
+    with open(path) as f:
+        return list(read_records(f))
+
+
 def read_records(fp: TextIO) -> Iterator[ChainRecord]:
     """Stream records from a chain-format text file."""
     text = fp.read()

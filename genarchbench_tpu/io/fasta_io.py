@@ -29,6 +29,14 @@ class ReadSet:
 
 
 def read_fasta(path: str, min_len: int = 0) -> ReadSet:
+    from genarchbench_tpu import native
+    res = native.fasta_native(path, min_len, table=0)
+    if res is not None:
+        return ReadSet(*res)
+    return _read_fasta_py(path, min_len)
+
+
+def _read_fasta_py(path: str, min_len: int = 0) -> ReadSet:
     op = gzip.open if path.endswith(".gz") else open
     names: List[str] = []
     seqs: List[np.ndarray] = []

@@ -37,6 +37,14 @@ class SeqPairs:
 
 
 def read_seqpairs(path: str, swap_longer_first: bool = False) -> SeqPairs:
+    from genarchbench_tpu import native
+    res = native.seqpair_native(path, swap_longer_first)
+    if res is not None:
+        return SeqPairs(*res)
+    return _read_seqpairs_py(path, swap_longer_first)
+
+
+def _read_seqpairs_py(path: str, swap_longer_first: bool = False) -> SeqPairs:
     patterns, texts = [], []
     with open(path) as f:
         while True:

@@ -89,8 +89,7 @@ def run(argv: Sequence[str]) -> int:
     p.add_argument("-t", dest="threads", type=int, default=1)
     args = p.parse_args(argv)
 
-    with open(args.input) as f:
-        records = list(chain_io.read_records(f))
+    records = chain_io.read_records_path(args.input)
 
     from genarchbench_tpu.sharding.mesh import data_mesh
     roi = ROITimer("fast-chain", "Time in kernel: {t:.2f} sec")

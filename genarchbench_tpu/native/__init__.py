@@ -58,6 +58,180 @@ def bgzf_lib() -> Optional[ctypes.CDLL]:
     return lib
 
 
+_READERS: Optional[ctypes.CDLL] = None
+_READERS_TRIED = False
+
+
+def readers_lib() -> Optional[ctypes.CDLL]:
+    """Native text-format readers (readers.c), built on first use."""
+    global _READERS, _READERS_TRIED
+    if _READERS is not None or _READERS_TRIED:
+        return _READERS
+    _READERS_TRIED = True
+    if os.environ.get("GENARCH_NO_NATIVE"):
+        return None
+    src = os.path.join(_DIR, "readers.c")
+    so_path = os.path.join(_DIR, "readers.so")
+    if not os.path.exists(so_path) or (
+            os.path.getmtime(so_path) < os.path.getmtime(src)):
+        cc = os.environ.get("CC", "cc")
+        r = subprocess.run(
+            [cc, "-O3", "-shared", "-fPIC", "-o", so_path, src, "-lz"],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"[genarchbench_tpu.native] readers build failed: "
+                  f"{r.stderr[-200:]}", file=sys.stderr)
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p64 = ctypes.POINTER(i64)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pu64 = ctypes.POINTER(ctypes.c_uint64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.fasta_scan.restype = i64
+    lib.fasta_scan.argtypes = [ctypes.c_char_p, i64, p64, p64, p64]
+    lib.fasta_load.restype = i64
+    lib.fasta_load.argtypes = [ctypes.c_char_p, i64, ctypes.c_int,
+                               pu8, p64, ctypes.c_char_p]
+    lib.seqpair_scan.restype = i64
+    lib.seqpair_scan.argtypes = [ctypes.c_char_p, p64, p64]
+    lib.seqpair_load.restype = i64
+    lib.seqpair_load.argtypes = [ctypes.c_char_p, ctypes.c_int, pu8, p64]
+    lib.bsw_scan.restype = i64
+    lib.bsw_scan.argtypes = [ctypes.c_char_p, p64, p64]
+    lib.bsw_load.restype = i64
+    lib.bsw_load.argtypes = [ctypes.c_char_p, p32, p32, p64]
+    lib.chain_scan.restype = i64
+    lib.chain_scan.argtypes = [ctypes.c_char_p, p64, p64]
+    lib.chain_load.restype = i64
+    lib.chain_load.argtypes = [ctypes.c_char_p, p64, pd, p64, p64, p64,
+                               p64, pu64, pu64]
+    _READERS = lib
+    return lib
+
+
+def _as_ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def fasta_native(path: str, min_len: int, table: int):
+    """(names, [code arrays]) via the native reader; None on failure."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    bases = ctypes.c_int64()
+    namebytes = ctypes.c_int64()
+    if lib.fasta_scan(path.encode(), min_len, ctypes.byref(n),
+                      ctypes.byref(bases), ctypes.byref(namebytes)) != 0:
+        return None
+    nn, nb = n.value, bases.value
+    codes = np.empty(nb, np.uint8)
+    offsets = np.zeros(nn + 1, np.int64)
+    names_buf = ctypes.create_string_buffer(max(namebytes.value, 1))
+    got = lib.fasta_load(path.encode(), min_len, table,
+                         _as_ptr(codes, ctypes.c_uint8),
+                         _as_ptr(offsets, ctypes.c_int64), names_buf)
+    if got != nn:
+        return None
+    names = names_buf.raw[:namebytes.value].decode().splitlines()
+    seqs = [codes[offsets[i]:offsets[i + 1]] for i in range(nn)]
+    return names, seqs
+
+
+def seqpair_native(path: str, swap_longer_first: bool):
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    bases = ctypes.c_int64()
+    if lib.seqpair_scan(path.encode(), ctypes.byref(n),
+                        ctypes.byref(bases)) != 0:
+        return None
+    nn, nb = n.value, bases.value
+    codes = np.empty(max(nb, 1), np.uint8)
+    offsets = np.zeros(2 * nn + 1, np.int64)
+    got = lib.seqpair_load(path.encode(), int(swap_longer_first),
+                           _as_ptr(codes, ctypes.c_uint8),
+                           _as_ptr(offsets, ctypes.c_int64))
+    if got != nn:
+        return None
+    pats = [codes[offsets[2 * i]:offsets[2 * i + 1]] for i in range(nn)]
+    txts = [codes[offsets[2 * i + 1]:offsets[2 * i + 2]] for i in range(nn)]
+    return pats, txts
+
+
+def bsw_native(path: str):
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    bases = ctypes.c_int64()
+    if lib.bsw_scan(path.encode(), ctypes.byref(n),
+                    ctypes.byref(bases)) != 0:
+        return None
+    nn, nb = n.value, bases.value
+    h0 = np.zeros(max(nn, 1), np.int32)
+    codes = np.empty(max(nb, 1), np.int32)
+    offsets = np.zeros(2 * nn + 1, np.int64)
+    got = lib.bsw_load(path.encode(), _as_ptr(h0, ctypes.c_int32),
+                       _as_ptr(codes, ctypes.c_int32),
+                       _as_ptr(offsets, ctypes.c_int64))
+    if got != nn:
+        return None
+    refs = [codes[offsets[2 * i]:offsets[2 * i + 1]] for i in range(nn)]
+    qrs = [codes[offsets[2 * i + 1]:offsets[2 * i + 2]] for i in range(nn)]
+    return h0[:nn], refs, qrs
+
+
+def chain_native(path: str):
+    """[(n, avg_qspan, mdx, mdy, bw, nsegs, x, y)] or None."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    nrec = ctypes.c_int64()
+    nanch = ctypes.c_int64()
+    if lib.chain_scan(path.encode(), ctypes.byref(nrec),
+                      ctypes.byref(nanch)) != 0:
+        return None
+    nr, na = nrec.value, nanch.value
+    ns = np.zeros(max(nr, 1), np.int64)
+    avg = np.zeros(max(nr, 1), np.float64)
+    mdx = np.zeros(max(nr, 1), np.int64)
+    mdy = np.zeros(max(nr, 1), np.int64)
+    bw = np.zeros(max(nr, 1), np.int64)
+    nsg = np.zeros(max(nr, 1), np.int64)
+    xs = np.zeros(max(na, 1), np.uint64)
+    ys = np.zeros(max(na, 1), np.uint64)
+    got = lib.chain_load(path.encode(), _as_ptr(ns, ctypes.c_int64),
+                         _as_ptr(avg, ctypes.c_double),
+                         _as_ptr(mdx, ctypes.c_int64),
+                         _as_ptr(mdy, ctypes.c_int64),
+                         _as_ptr(bw, ctypes.c_int64),
+                         _as_ptr(nsg, ctypes.c_int64),
+                         _as_ptr(xs, ctypes.c_uint64),
+                         _as_ptr(ys, ctypes.c_uint64))
+    if got != nr:
+        return None
+    out = []
+    w = 0
+    for i in range(nr):
+        n_i = int(ns[i])
+        out.append((n_i, float(avg[i]), int(mdx[i]), int(mdy[i]),
+                    int(bw[i]), int(nsg[i]),
+                    xs[w:w + n_i].copy(), ys[w:w + n_i].copy()))
+        w += n_i
+    return out
+
+
 def bgzf_decompress(raw: bytes) -> Optional[bytes]:
     """Decode a whole BGZF byte string natively; None on any failure
     (caller falls back to the Python decoder)."""

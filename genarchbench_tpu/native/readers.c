@@ -1,0 +1,369 @@
+/* Native data loaders for the framework's text input formats.
+ *
+ * The reference parses every input in C (kseq.h FASTA/FASTQ readers in
+ * fmi/kmer-cnt, fscanf loops in chain/src/host_data_io.cpp:13-51 and
+ * bsw/src/main_banded.cpp:154-206, getline loops in the bpm/wfa
+ * align_benchmark drivers).  These fill the same role for the TPU
+ * framework's host side: each format gets a two-pass API (scan sizes,
+ * then fill caller-allocated numpy buffers) so Python owns all memory.
+ *
+ * All readers accept gzip transparently via zlib's gzFile.
+ * Encodings match the Python fallbacks byte-for-byte:
+ *   table 0 (dna2bit): ACGTacgt -> 0..3, everything else -> 3
+ *   table 1 (dna5):    ACGTacgt -> 0..3, everything else -> 4
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <zlib.h>
+
+#define LINE_CAP_INIT (1 << 16)
+
+typedef struct {
+    gzFile f;
+    char *buf;
+    size_t cap;
+} reader_t;
+
+static int rd_open(reader_t *r, const char *path) {
+    r->f = gzopen(path, "rb");
+    if (!r->f) return -1;
+    gzbuffer(r->f, 1 << 20);
+    r->cap = LINE_CAP_INIT;
+    r->buf = (char *)malloc(r->cap);
+    return r->buf ? 0 : -1;
+}
+
+static void rd_close(reader_t *r) {
+    if (r->f) gzclose(r->f);
+    free(r->buf);
+}
+
+/* read one line (without trailing \n / \r\n); returns length or -1 at EOF */
+static int64_t rd_line(reader_t *r) {
+    size_t len = 0;
+    for (;;) {
+        if (len + 4096 > r->cap) {
+            r->cap *= 2;
+            char *nb = (char *)realloc(r->buf, r->cap);
+            if (!nb) return -1;
+            r->buf = nb;
+        }
+        if (!gzgets(r->f, r->buf + len, (int)(r->cap - len)))
+            return len ? (int64_t)len : -1;
+        len += strlen(r->buf + len);
+        if (len && r->buf[len - 1] == '\n') {
+            len--;
+            if (len && r->buf[len - 1] == '\r') len--;
+            r->buf[len] = 0;
+            return (int64_t)len;
+        }
+        if (gzeof(r->f)) return (int64_t)len;
+    }
+}
+
+static void enc_tables(uint8_t *t2, uint8_t *t5) {
+    for (int i = 0; i < 256; i++) { t2[i] = 3; t5[i] = 4; }
+    const char *b = "ACGT";
+    for (int i = 0; i < 4; i++) {
+        t2[(int)b[i]] = (uint8_t)i;  t2[(int)(b[i] + 32)] = (uint8_t)i;
+        t5[(int)b[i]] = (uint8_t)i;  t5[(int)(b[i] + 32)] = (uint8_t)i;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* FASTA / FASTQ (auto-detected on the first byte, like the Python)    */
+/* ------------------------------------------------------------------ */
+
+/* pass 1: kept records (len > min_len), name bytes for them, and
+ * bases_out = UNFILTERED total bases — the load pass writes every
+ * record's body into the buffer before deciding keep/drop (dropped
+ * bodies are overwritten by the next record), so the caller must size
+ * `codes` for the unfiltered maximum. */
+int64_t fasta_scan(const char *path, int64_t min_len,
+                   int64_t *n_out, int64_t *bases_out, int64_t *names_out) {
+    reader_t r;
+    if (rd_open(&r, path)) return -1;
+    int64_t n = 0, bases = 0, names = 0, len;
+    int64_t first = rd_line(&r);
+    if (first < 0) { rd_close(&r); *n_out = 0; *bases_out = 0; *names_out = 0; return 0; }
+    int fastq = r.buf[0] == '@';
+    if (fastq) {
+        for (;;) {
+            /* header already in buf */
+            size_t nl = strcspn(r.buf + 1, " \t");
+            int64_t slen = rd_line(&r);
+            if (slen < 0) break;
+            rd_line(&r); rd_line(&r);          /* '+' and quals */
+            bases += slen;
+            if (slen > min_len) { n++; names += (int64_t)nl + 1; }
+            if (rd_line(&r) < 0) break;        /* next header */
+        }
+    } else {
+        int64_t cur = 0, nl = (int64_t)strcspn(r.buf + 1, " \t");
+        int have = 1;
+        while ((len = rd_line(&r)) >= 0) {
+            if (r.buf[0] == '>') {
+                bases += cur;
+                if (have && cur > min_len) { n++; names += nl + 1; }
+                cur = 0; nl = (int64_t)strcspn(r.buf + 1, " \t"); have = 1;
+            } else cur += len;
+        }
+        bases += cur;
+        if (have && cur > min_len) { n++; names += nl + 1; }
+    }
+    rd_close(&r);
+    *n_out = n; *bases_out = bases; *names_out = names;
+    return 0;
+}
+
+/* pass 2: codes (uint8, table-encoded), offsets (n+1), names buffer */
+int64_t fasta_load(const char *path, int64_t min_len, int table,
+                   uint8_t *codes, int64_t *offsets, char *names) {
+    uint8_t t2[256], t5[256];
+    enc_tables(t2, t5);
+    const uint8_t *enc = table ? t5 : t2;
+    reader_t r;
+    if (rd_open(&r, path)) return -1;
+    int64_t n = 0, w = 0, len;
+    char *np = names;
+    offsets[0] = 0;
+    int64_t first = rd_line(&r);
+    if (first < 0) { rd_close(&r); return 0; }
+    int fastq = r.buf[0] == '@';
+    if (fastq) {
+        for (;;) {
+            size_t nl = strcspn(r.buf + 1, " \t");
+            char name[4096];
+            size_t cl = nl < sizeof(name) ? nl : sizeof(name) - 1;
+            memcpy(name, r.buf + 1, cl); name[cl] = 0;
+            int64_t slen = rd_line(&r);
+            if (slen < 0) break;
+            if (slen > min_len) {
+                for (int64_t i = 0; i < slen; i++)
+                    codes[w + i] = enc[(uint8_t)r.buf[i]];
+                w += slen; offsets[++n] = w;
+                memcpy(np, name, cl); np += cl; *np++ = '\n';
+            }
+            rd_line(&r); rd_line(&r);
+            if (rd_line(&r) < 0) break;
+        }
+    } else {
+        char name[4096]; name[0] = 0;
+        size_t nl = strcspn(r.buf + 1, " \t");
+        size_t cl = nl < sizeof(name) ? nl : sizeof(name) - 1;
+        memcpy(name, r.buf + 1, cl); name[cl] = 0;
+        int64_t cur = 0;
+        while ((len = rd_line(&r)) >= 0) {
+            if (r.buf[0] == '>') {
+                if (cur > min_len) {             /* keep: advance w */
+                    w += cur; offsets[++n] = w;
+                    size_t L = strlen(name);
+                    memcpy(np, name, L); np += L; *np++ = '\n';
+                }                                /* drop: w stays, codes
+                                                    get overwritten */
+                cur = 0;
+                nl = strcspn(r.buf + 1, " \t");
+                cl = nl < sizeof(name) ? nl : sizeof(name) - 1;
+                memcpy(name, r.buf + 1, cl); name[cl] = 0;
+            } else {
+                for (int64_t i = 0; i < len; i++)
+                    codes[w + cur + i] = enc[(uint8_t)r.buf[i]];
+                cur += len;
+            }
+        }
+        if (cur > min_len) {
+            w += cur; offsets[++n] = w;
+            size_t L = strlen(name);
+            memcpy(np, name, L); np += L; *np++ = '\n';
+        }
+    }
+    rd_close(&r);
+    return n;
+}
+
+/* ------------------------------------------------------------------ */
+/* bpm/wfa '>pattern' / '<text' pair datasets                          */
+/* ------------------------------------------------------------------ */
+
+int64_t seqpair_scan(const char *path, int64_t *n_pairs, int64_t *bases) {
+    reader_t r;
+    if (rd_open(&r, path)) return -1;
+    int64_t n = 0, total = 0, l1, l2;
+    for (;;) {
+        l1 = rd_line(&r);
+        if (l1 < 0) break;
+        l2 = rd_line(&r);
+        if (l2 < 0) break;
+        n++; total += (l1 - 1) + (l2 - 1);
+    }
+    rd_close(&r);
+    *n_pairs = n; *bases = total;
+    return 0;
+}
+
+/* codes: dna5-encoded, 2n sequences alternating (pattern, text);
+ * offsets: 2n+1.  swap_longer: put the longer sequence first (bpm). */
+int64_t seqpair_load(const char *path, int swap_longer,
+                     uint8_t *codes, int64_t *offsets) {
+    uint8_t t2[256], t5[256];
+    enc_tables(t2, t5);
+    reader_t r;
+    if (rd_open(&r, path)) return -1;
+    /* second line buffer */
+    char *buf2 = (char *)malloc(LINE_CAP_INIT);
+    size_t cap2 = LINE_CAP_INIT;
+    int64_t n = 0, w = 0;
+    offsets[0] = 0;
+    for (;;) {
+        int64_t l1 = rd_line(&r);
+        if (l1 < 0) break;
+        /* stash line 1, read line 2 into r.buf */
+        if ((size_t)l1 + 1 > cap2) {
+            cap2 = (size_t)l1 * 2;
+            buf2 = (char *)realloc(buf2, cap2);
+        }
+        memcpy(buf2, r.buf, (size_t)l1 + 1);
+        int64_t l2 = rd_line(&r);
+        if (l2 < 0) break;
+        const char *s1 = buf2 + 1;   int64_t n1 = l1 - 1;
+        const char *s2 = r.buf + 1;  int64_t n2 = l2 - 1;
+        if (swap_longer && n1 < n2) {
+            const char *ts = s1; s1 = s2; s2 = ts;
+            int64_t tn = n1; n1 = n2; n2 = tn;
+        }
+        for (int64_t i = 0; i < n1; i++) codes[w + i] = t5[(uint8_t)s1[i]];
+        w += n1; offsets[2 * n + 1] = w;
+        for (int64_t i = 0; i < n2; i++) codes[w + i] = t5[(uint8_t)s2[i]];
+        w += n2; offsets[2 * n + 2] = w;
+        n++;
+    }
+    free(buf2);
+    rd_close(&r);
+    return n;
+}
+
+/* ------------------------------------------------------------------ */
+/* bsw 3-line pairs: h0 / ref('0'..'4') / query                        */
+/* ------------------------------------------------------------------ */
+
+int64_t bsw_scan(const char *path, int64_t *n_pairs, int64_t *bases) {
+    reader_t r;
+    if (rd_open(&r, path)) return -1;
+    int64_t n = 0, total = 0;
+    for (;;) {
+        int64_t l1 = rd_line(&r);
+        if (l1 <= 0) break;                   /* blank line terminates */
+        int64_t l2 = rd_line(&r);
+        int64_t l3 = rd_line(&r);
+        if (l2 < 0 || l3 < 0) break;
+        n++; total += l2 + l3;
+    }
+    rd_close(&r);
+    *n_pairs = n; *bases = total;
+    return 0;
+}
+
+/* h0 (n,) i32; codes (total,) i32 with '4' -> 0xFFFF; offsets 2n+1 */
+int64_t bsw_load(const char *path, int32_t *h0,
+                 int32_t *codes, int64_t *offsets) {
+    reader_t r;
+    if (rd_open(&r, path)) return -1;
+    int64_t n = 0, w = 0;
+    offsets[0] = 0;
+    for (;;) {
+        int64_t l1 = rd_line(&r);
+        if (l1 <= 0) break;
+        h0[n] = (int32_t)strtol(r.buf, NULL, 10);
+        for (int k = 0; k < 2; k++) {
+            int64_t len = rd_line(&r);
+            if (len < 0) { rd_close(&r); return n; }
+            for (int64_t i = 0; i < len; i++) {
+                int32_t v = r.buf[i] - 48;
+                codes[w + i] = (v == 4) ? 0xFFFF : v;
+            }
+            w += len; offsets[2 * n + 1 + k] = w;
+        }
+        n++;
+    }
+    rd_close(&r);
+    return n;
+}
+
+/* ------------------------------------------------------------------ */
+/* chain / fast-chain anchor records                                   */
+/* ------------------------------------------------------------------ */
+
+static int tok_next(reader_t *r, char **p, char tok[64]) {
+    /* whitespace-separated token across lines; 0 at EOF */
+    for (;;) {
+        while (**p == ' ' || **p == '\t') (*p)++;
+        if (**p) break;
+        if (rd_line(r) < 0) return 0;
+        *p = r->buf;
+    }
+    int i = 0;
+    while ((*p)[i] && (*p)[i] != ' ' && (*p)[i] != '\t' && i < 63) {
+        tok[i] = (*p)[i]; i++;
+    }
+    tok[i] = 0;
+    *p += i;
+    return 1;
+}
+
+int64_t chain_scan(const char *path, int64_t *n_rec, int64_t *anchors) {
+    reader_t r;
+    if (rd_open(&r, path)) return -1;
+    char tok[64];
+    char *p = r.buf; r.buf[0] = 0;
+    int64_t nr = 0, na = 0;
+    while (tok_next(&r, &p, tok)) {
+        if (!strcmp(tok, "EOR")) continue;
+        long long n = atoll(tok);
+        for (int k = 0; k < 5; k++)
+            if (!tok_next(&r, &p, tok)) goto done;
+        for (long long k = 0; k < 2 * n; k++)
+            if (!tok_next(&r, &p, tok)) goto done;
+        nr++; na += n;
+    }
+done:
+    rd_close(&r);
+    *n_rec = nr; *anchors = na;
+    return 0;
+}
+
+int64_t chain_load(const char *path, int64_t *ns, double *avg,
+                   int64_t *mdx, int64_t *mdy, int64_t *bw, int64_t *nsegs,
+                   uint64_t *xs, uint64_t *ys) {
+    reader_t r;
+    if (rd_open(&r, path)) return -1;
+    char tok[64];
+    char *p = r.buf; r.buf[0] = 0;
+    int64_t nr = 0, w = 0;
+    while (tok_next(&r, &p, tok)) {
+        if (!strcmp(tok, "EOR")) continue;
+        long long n = atoll(tok);
+        if (!tok_next(&r, &p, tok)) break;
+        avg[nr] = strtod(tok, NULL);
+        int64_t hdr[4];
+        int ok = 1;
+        for (int k = 0; k < 4; k++) {
+            if (!tok_next(&r, &p, tok)) { ok = 0; break; }
+            hdr[k] = atoll(tok);
+        }
+        if (!ok) break;
+        mdx[nr] = hdr[0]; mdy[nr] = hdr[1]; bw[nr] = hdr[2]; nsegs[nr] = hdr[3];
+        for (long long k = 0; k < n; k++) {
+            if (!tok_next(&r, &p, tok)) return nr;
+            xs[w + k] = strtoull(tok, NULL, 10);
+            if (!tok_next(&r, &p, tok)) return nr;
+            ys[w + k] = strtoull(tok, NULL, 10);
+        }
+        ns[nr] = n;
+        w += n;
+        nr++;
+    }
+    rd_close(&r);
+    return nr;
+}
