@@ -44,9 +44,11 @@ TPU_TIMEOUT = int(os.environ.get("BENCH_TPU_TIMEOUT", "900"))
 def gen_inputs():
     sys.path.insert(0, str(REPO / "tests"))
     from synth import gen_bsw_input, gen_chain_input, gen_seqpair_dataset
-    rng = np.random.default_rng(4242)
     paths = {}
 
+    # every input gets its own seeded stream so the on-disk caching of
+    # one file cannot shift another's content
+    rng = np.random.default_rng(4242)
     fa = TMP / "bench_kmer_reads.fasta"
     n_reads = int(os.environ.get("BENCH_KMER_READS", "120"))
     read_len = int(os.environ.get("BENCH_KMER_READLEN", "20000"))
@@ -65,19 +67,29 @@ def gen_inputs():
     paths["kmer"] = (fa, cfg)
     paths["kmer_bases"] = total
 
-    bpm = TMP / "bench_bpm_pairs.txt"
-    bpm.write_text(gen_seqpair_dataset(rng, n_pairs=4096, length=480,
-                                       error_rate=0.12))
+    # sized so the reference binary runs ~1-60 s per kernel on this
+    # host (the suite's own small-input design target, README.md:7) —
+    # large enough that neither side is measuring fixed overheads
+    bpm = TMP / "bench_bpm_pairs_v2.txt"
+    if not bpm.exists():
+        bpm.write_text(gen_seqpair_dataset(
+            np.random.default_rng(101), n_pairs=4096, length=480,
+            error_rate=0.12))
     paths["bpm"] = bpm
 
-    chain = TMP / "bench_chain.txt"
-    chain.write_text(gen_chain_input(rng, n_records=512, max_anchors=512))
+    chain = TMP / "bench_chain_v2.txt"
+    if not chain.exists():
+        chain.write_text(gen_chain_input(
+            np.random.default_rng(102), n_records=16384, max_anchors=512))
     paths["chain"] = chain
 
-    bsw = TMP / "bench_bsw_pairs.txt"
-    bsw.write_text(gen_bsw_input(rng, n_pairs=4096, ref_len=256,
-                                 query_len=128))
+    bsw = TMP / "bench_bsw_pairs_v2.txt"
+    if not bsw.exists():
+        bsw.write_text(gen_bsw_input(
+            np.random.default_rng(103), n_pairs=16384, ref_len=384,
+            query_len=192))
     paths["bsw"] = bsw
+    paths["size_tag"] = "v2"
     return paths
 
 
@@ -101,7 +113,8 @@ def _grep_time(pattern, text):
 def ref_time(kernel: str, paths, nthreads: int) -> float:
     """Kernel-ROI seconds of the reference binary (cached by input key)."""
     cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
-    key = f"{kernel}_t{nthreads}_" + os.environ.get("BENCH_SIZE", "default")
+    key = (f"{kernel}_t{nthreads}_"
+           + os.environ.get("BENCH_SIZE", paths.get("size_tag", "v2")))
     if key in cache:
         return cache[key]
     env = dict(os.environ, OMP_NUM_THREADS=str(nthreads))

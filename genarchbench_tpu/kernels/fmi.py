@@ -478,17 +478,38 @@ def _bwt_seed_device(count5, cp_count, oh_hi, oh_lo, sentinel,
 # ---------------------------------------------------------------------------
 
 class FMISearch:
-    def __init__(self, index: FMIndex):
+    """Device-resident FM-index search.  With a mesh, the checkpointed
+    occ / one-hot BWT tables are explicitly REPLICATED across devices
+    (they are small by construction: CP_OCC is 4xint64 + 4xuint64 per 64
+    bases, FMI_search.h:55-59) and query batches shard data-parallel —
+    the reference's OMP-over-read-batches (fmi.cpp:250-263) mapped to
+    SPMD."""
+
+    def __init__(self, index: FMIndex, mesh=None):
         self.index = index
+        self.mesh = mesh
         self.count5 = jnp.asarray(index.count, jnp.int32)
         self.cp_count = jnp.asarray(index.cp_count, jnp.int32)
         self.oh_hi = jnp.asarray(index.oh_hi)
         self.oh_lo = jnp.asarray(index.oh_lo)
         self.sentinel = jnp.asarray(index.sentinel, jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            (self.count5, self.cp_count, self.oh_hi, self.oh_lo,
+             self.sentinel) = (jax.device_put(t, rep) for t in (
+                 self.count5, self.cp_count, self.oh_hi, self.oh_lo,
+                 self.sentinel))
 
     def _tables(self):
         return (self.count5, self.cp_count, self.oh_hi, self.oh_lo,
                 self.sentinel)
+
+    def _replicate(self, qdb_j):
+        if self.mesh is None:
+            return qdb_j
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(qdb_j, NamedSharding(self.mesh, P()))
 
     def smems_batch(self, qdb: np.ndarray, qoff: np.ndarray,
                     qlen: np.ndarray, rid: np.ndarray,
@@ -497,25 +518,27 @@ class FMISearch:
                     all_pos: bool) -> List[Tuple[int, int, int, int]]:
         """Run OnePos (optionally looped over restart positions =
         AllPos).  Returns [(rid, m, n, s)]."""
+        from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
         B = len(qoff)
-        Bp = 1 << max(B - 1, 1).bit_length()
+        Bp = pad_batch(1 << max(B - 1, 1).bit_length(), self.mesh)
         pad = Bp - B
 
         def padi(a, fill=0):
-            return jnp.asarray(np.concatenate(
-                [a, np.full(pad, fill, a.dtype)]).astype(np.int32))
+            return np.concatenate(
+                [a, np.full(pad, fill, a.dtype)]).astype(np.int32)
 
-        qdb_j = jnp.asarray(qdb.astype(np.int32))
-        qoff_j = padi(qoff)
-        qlen_j = padi(qlen)
-        mi_j = padi(min_intv, 1)
+        qdb_j = self._replicate(jnp.asarray(qdb.astype(np.int32)))
+        qoff_j, qlen_j, mi_j = shard_args(
+            self.mesh, padi(qoff), padi(qlen), padi(min_intv, 1))
         x = np.concatenate([x0, np.zeros(pad, np.int32)]).astype(np.int32)
         act = np.concatenate([np.ones(B, bool), np.zeros(pad, bool)])
         out: List[Tuple[int, int, int, int]] = []
         while act.any():
+            x_j, act_j = shard_args(self.mesh, x, act)
             em, en, es, ec, nx = _onepos_device(
                 *self._tables(), qdb_j, qoff_j, qlen_j,
-                jnp.asarray(x), mi_j, jnp.asarray(act),
+                x_j, mi_j, act_j,
                 Lmax=Lmax, Pmax=Lmax, min_seed=min_seed,
                 emit_cap=Lmax + 2)
             em, en, es, ec, nx = (np.asarray(v)
@@ -533,15 +556,20 @@ class FMISearch:
 
     def bwt_seed_batch(self, qdb, qoff, qlen, rid, max_intv: int,
                        min_seed: int, Lmax: int):
+        from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
         B = len(qoff)
-        Bp = 1 << max(B - 1, 1).bit_length()
+        Bp = pad_batch(1 << max(B - 1, 1).bit_length(), self.mesh)
         pad = Bp - B
-        padi = lambda a, f=0: jnp.asarray(np.concatenate(
-            [a, np.full(pad, f, a.dtype)]).astype(np.int32))
+        padi = lambda a, f=0: np.concatenate(
+            [a, np.full(pad, f, a.dtype)]).astype(np.int32)
+        qoff_j, qlen_j, mi_j = shard_args(
+            self.mesh, padi(qoff), padi(qlen),
+            padi(np.full(B, max_intv, np.int32), max_intv))
         em, en, es, ec = _bwt_seed_device(
-            *self._tables(), jnp.asarray(qdb.astype(np.int32)),
-            padi(qoff), padi(qlen),
-            padi(np.full(B, max_intv, np.int32), max_intv),
+            *self._tables(),
+            self._replicate(jnp.asarray(qdb.astype(np.int32))),
+            qoff_j, qlen_j, mi_j,
             min_seed=min_seed, emit_cap=Lmax + 2)
         em, en, es, ec = (np.asarray(v) for v in (em, en, es, ec))
         out = []
@@ -645,7 +673,8 @@ def run(argv: Sequence[str]) -> int:
         index = FMIndex.load(ref_file)
     else:
         index = build_index_from_fasta(ref_file)
-    fmi = FMISearch(index)
+    from genarchbench_tpu.sharding.mesh import data_mesh
+    fmi = FMISearch(index, mesh=data_mesh())
 
     lens = [len(r) for r in reads]
     print(f"numReads = {len(reads)}, max_readlength = {max(lens)}, "

@@ -41,6 +41,7 @@ from jax import lax
 
 from genarchbench_tpu.core.roi import ROITimer
 from genarchbench_tpu.io.fasta_io import ReadSet, read_fasta
+from genarchbench_tpu.sharding.batching import next_pow2
 
 HI_SENTINEL = 1 << 29      # sorts after every valid hi code (hi < 4^9)
 
@@ -122,36 +123,34 @@ def count_distinct(reads: ReadSet, k: int,
                    batch_bases: int = 1 << 25) -> int:
     """Distinct canonical k-mers across all reads: per-batch code
     computation on device, codes stay resident, one global device
-    sort + count at the end."""
-    order = np.argsort([len(s) for s in reads.seqs])[::-1]
+    sort + count at the end.
+
+    Reads are bucketed by POW2-padded length and processed in
+    FIXED-size (B, L) chunks so the whole run compiles at most a couple
+    of distinct programs — variable shapes would recompile the ~2k-op
+    code kernel per batch (20-40 s each on a TPU tunnel), dwarfing the
+    compute."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, s in enumerate(reads.seqs):
+        Lpad = max(next_pow2(max(len(s), k), 2048), 2048)
+        buckets[Lpad].append(i)
+
     parts = []
-    batch: list = []
-    batch_cells = 0
-    Lmax = 0
-
-    def flush():
-        nonlocal batch, batch_cells, Lmax
-        if not batch:
-            return
-        B = len(batch)
-        arr = np.zeros((B, Lmax), np.int32)
-        lens = np.zeros(B, np.int32)
-        for i, s in enumerate(batch):
-            arr[i, :len(s)] = s
-            lens[i] = len(s)
-        hi, lo = _codes_device(jnp.asarray(arr), jnp.asarray(lens), k=k)
-        parts.append((hi.ravel(), lo.ravel()))
-        batch, batch_cells, Lmax = [], 0, 0
-
-    for i in order:
-        s = reads.seqs[i].astype(np.int32)
-        Lpad = _round_up(max(len(s), k), 256)
-        if batch and (batch_cells + Lpad > batch_bases or Lpad != Lmax):
-            flush()
-        Lmax = max(Lmax, Lpad)
-        batch.append(s)
-        batch_cells += Lpad
-    flush()
+    for Lpad, idxs in sorted(buckets.items()):
+        Bfix = max(8, min(_round_up(len(idxs), 8),
+                          _round_up(batch_bases // Lpad, 8)))
+        for lo_i in range(0, len(idxs), Bfix):
+            chunk = idxs[lo_i:lo_i + Bfix]
+            arr = np.zeros((Bfix, Lpad), np.int32)
+            lens = np.zeros(Bfix, np.int32)
+            for row, i in enumerate(chunk):
+                s = reads.seqs[i]
+                arr[row, :len(s)] = s
+                lens[row] = len(s)
+            hi, lo = _codes_device(jnp.asarray(arr), jnp.asarray(lens), k=k)
+            parts.append((hi.ravel(), lo.ravel()))
     if not parts:
         return 0
     hi = jnp.concatenate([p[0] for p in parts])

@@ -73,3 +73,25 @@ def test_wfa_sharded_matches_single(tmp_path):
                                      error_rate=0.08))
     pairs = read_seqpairs(str(f), swap_longer_first=False)
     assert wfa_batch(pairs) == wfa_batch(pairs, mesh=data_mesh(8))
+
+
+def test_fmi_sharded_matches_single():
+    """Reads data-parallel + replicated occ tables == single device."""
+    from genarchbench_tpu.kernels.fmi import (FMISearch, build_index,
+                                              search_reads)
+    rng = np.random.default_rng(15)
+    ref = rng.integers(0, 4, 600).astype(np.uint8)
+    index = build_index(ref)
+    reads = []
+    for _ in range(12):
+        p = int(rng.integers(0, 500))
+        L = int(rng.integers(30, 80))
+        r = ref[p:p + L].copy()
+        nmut = max(1, L // 20)
+        idx = rng.integers(0, L, nmut)
+        r[idx] = rng.integers(0, 4, nmut)
+        reads.append(r)
+    single = search_reads(FMISearch(index), reads, 8, 19)
+    sharded = search_reads(FMISearch(index, mesh=data_mesh(8)),
+                           reads, 8, 19)
+    assert single == sharded
