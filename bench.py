@@ -138,9 +138,9 @@ def ref_time(kernel: str, paths, nthreads: int) -> float:
              "-i", str(paths["bpm"]), "-t", str(nthreads)],
             capture_output=True, text=True, timeout=1800, env=env)
         secs = _grep_time(r"Time.Benchmark\s+([0-9.]+)", r.stdout + r.stderr)
-    elif kernel == "chain":
+    elif kernel == "fastchain":
         r = subprocess.run(
-            [str(build_ref("chain_ref")), "-i", str(paths["chain"]),
+            [str(build_ref("fastchain_ref")), "-i", str(paths["chain"]),
              "-o", str(TMP / "bench_chain_ref.out")],
             capture_output=True, text=True, timeout=1800, env=env)
         secs = _grep_time(r"Time in kernel: ([0-9.]+) sec",
@@ -186,13 +186,13 @@ def measure_child(kernel: str, platform: str):
         t0 = time.perf_counter()
         bpm_batch(pairs)
         dt = time.perf_counter() - t0
-    elif kernel == "chain":
+    elif kernel == "fastchain":
         from genarchbench_tpu.io import chain_io
-        from genarchbench_tpu.kernels.chain import chain_batch
+        from genarchbench_tpu.kernels.fast_chain import fast_chain_batch
         records = chain_io.read_records_path(str(paths["chain"]))
-        chain_batch(records)
+        fast_chain_batch(records)
         t0 = time.perf_counter()
-        chain_batch(records)
+        fast_chain_batch(records)
         dt = time.perf_counter() - t0
     elif kernel == "bsw":
         from genarchbench_tpu.io.bsw_io import read_bsw_pairs
@@ -225,7 +225,8 @@ def main() -> None:
 
     paths = gen_inputs()
     nthreads = os.cpu_count() or 1
-    kernels = os.environ.get("BENCH_KERNELS", "kmer,bpm,chain,bsw").split(",")
+    kernels = os.environ.get("BENCH_KERNELS",
+                             "kmer,bpm,fastchain,bsw").split(",")
 
     speedups = {}
     plat_used = {}

@@ -6,24 +6,35 @@ identical results to its AVX512/AVX2/SVE paths): like chain_dp but
   * no seg-id logic, no skip heuristic / targets / break,
   * gap cost computed in float32: (int)(dd * 0.01f * avg_qspan) + (log_dd>>1).
 
-Shares the lock-step batched device kernel with `kernels.chain`
-(with_heuristics=False disables the targets/n_skip carry entirely); the only
-semantic deltas are encoded host-side: sid forced uniform, n_segs forced to 1
-(which disables chain's extra sid/n_segs continue conditions), and the
-gap-cost table computed with f32 rounding instead of f64.
+TPU-first design: the reference dropped minimap2's skip heuristics
+precisely because they serialize the j-loop (its own TODO comments,
+host_kernel.cpp:819-850, call out the unvectorizable `continue`/`break`).
+With them gone the whole backward window is data-parallel: each anchor's
+window is processed in 128-wide VECTOR CHUNKS (one masked (B, 128)
+tensor step per chunk instead of one device step per j), with the
+running (max_f, max_j) reduction carried across chunks.  The strict
+`sc > max_f` scan-descending tie rule ("first j seen wins" = largest j)
+is preserved exactly: a chunk updates only when its masked max beats the
+carry, selecting the largest j that attains it.
 """
 
 from __future__ import annotations
 
 import sys
+from functools import partial
 from typing import List, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from genarchbench_tpu.core.roi import ROITimer
 from genarchbench_tpu.io import chain_io
-from genarchbench_tpu.kernels.chain import _chain_dp_device, MAX_ITER
+from genarchbench_tpu.kernels.chain import MAX_ITER
 from genarchbench_tpu.sharding.batching import plan_batches, pad_stack
+
+CHUNK = 128
 
 
 def clin_table_f32(avg_qspan: float, size: int) -> np.ndarray:
@@ -31,6 +42,80 @@ def clin_table_f32(avg_qspan: float, size: int) -> np.ndarray:
     (host_kernel.cpp:843: float math, truncation toward zero)."""
     dd = np.arange(size, dtype=np.float32)
     return ((dd * np.float32(0.01)) * np.float32(avg_qspan)).astype(np.int32)
+
+
+@jax.jit
+def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, clin):
+    """Chunk-vectorized fast-chain DP.
+
+    x_lo (B,N) uint32; qi/span/st (B,N) int32; n/mdxy/bw (B,) int32
+    (mdxy = min(max_dist_x, max_dist_y): the reference's two `dq >` tests
+    collapse); clin (B,T) int32.  Returns scores, parents, peaks (B,N)."""
+    B, N = x_lo.shape
+    T = clin.shape[1]
+    i32 = jnp.int32
+    NEG = jnp.int32(-(1 << 30))
+    bidx = jnp.arange(B, dtype=i32)
+    lane = jnp.arange(CHUNK, dtype=i32)
+
+    def outer(i, state):
+        scores, parents, peaks = state
+        act_i = i < n                                    # (B,)
+        ri = x_lo[:, i]
+        qi_i = qi[:, i]
+        span_i = span[:, i]
+        st_i = jnp.where(act_i, st[:, i], i)             # empty window if pad
+        min_st = jnp.min(jnp.where(act_i, st_i, i))
+
+        def cond(c):
+            cidx = c[0]
+            jtop = i - 1 - cidx * CHUNK
+            return (jtop >= 0) & (jtop >= min_st)
+
+        def body(c):
+            cidx, maxf, maxj = c
+            jtop = i - 1 - cidx * CHUNK                  # top j this chunk
+            start = jnp.maximum(jtop - CHUNK + 1, 0)
+            js = start + lane                            # ascending (CHUNK,)
+            valid = act_i[:, None] & (js[None, :] >= st_i[:, None]) \
+                & (js[None, :] <= jtop)
+            xs = lax.dynamic_slice(x_lo, (0, start), (B, CHUNK))
+            qs = lax.dynamic_slice(qi, (0, start), (B, CHUNK))
+            scj = lax.dynamic_slice(scores, (0, start), (B, CHUNK))
+            dr = (ri[:, None] - xs).astype(i32)
+            dq = qi_i[:, None] - qs
+            dd = jnp.abs(dr - dq)
+            cont = (dr == 0) | (dq <= 0) | (dq > mdxy[:, None]) \
+                | (dd > bw[:, None])
+            eff = valid & ~cont
+            ddc = jnp.clip(dd, 0, T - 1)
+            c_lin = jnp.take_along_axis(clin, ddc, axis=1)
+            log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
+            sc0 = jnp.minimum(jnp.minimum(dq, dr), span_i[:, None])
+            sc = sc0 - (c_lin + (log_dd >> 1)) + scj
+            scm = jnp.where(eff, sc, NEG)
+            cm = jnp.max(scm, axis=1)                    # (B,)
+            # largest j attaining cm = "first seen" in the descending scan
+            jsel = jnp.max(jnp.where(scm == cm[:, None], js[None, :], -1),
+                           axis=1)
+            upd = cm > maxf
+            return (cidx + 1, jnp.where(upd, cm, maxf),
+                    jnp.where(upd, jsel, maxj))
+
+        _, maxf, maxj = lax.while_loop(
+            cond, body, (jnp.int32(0), span_i, jnp.full(B, -1, i32)))
+
+        scores = scores.at[:, i].set(jnp.where(act_i, maxf, 0))
+        parents = parents.at[:, i].set(jnp.where(act_i, maxj, -1))
+        pk_j = peaks[bidx, jnp.maximum(maxj, 0)]
+        pk = jnp.where((maxj >= 0) & (pk_j > maxf), pk_j, maxf)
+        peaks = peaks.at[:, i].set(jnp.where(act_i, pk, 0))
+        return (scores, parents, peaks)
+
+    zeros = jnp.zeros((B, N), i32)
+    state = (zeros, jnp.full((B, N), -1, i32), zeros)
+    scores, parents, peaks = lax.fori_loop(0, N, outer, state)
+    return scores, parents, peaks
 
 
 def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
@@ -45,31 +130,23 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
         x_lo = pad_stack([r.x_lo for r in recs], B, N, dtype=np.uint32)
         qi = pad_stack([r.qi for r in recs], B, N, dtype=np.int32)
         span = pad_stack([r.q_span for r in recs], B, N, dtype=np.int32)
-        sid = np.zeros((B, N), np.int32)
         st = pad_stack([r.window_starts(MAX_ITER) for r in recs], B, N,
                        dtype=np.int32)
         n = np.zeros(B, np.int32)
         n[:len(recs)] = [r.n for r in recs]
-        mdx = np.zeros(B, np.int32)
-        mdx[:len(recs)] = [r.max_dist_x for r in recs]
-        mdy = np.zeros(B, np.int32)
-        mdy[:len(recs)] = [r.max_dist_y for r in recs]
+        mdxy = np.zeros(B, np.int32)
+        mdxy[:len(recs)] = [min(r.max_dist_x, r.max_dist_y) for r in recs]
         bw = np.zeros(B, np.int32)
         bw[:len(recs)] = [r.bw for r in recs]
-        nsegs = np.ones(B, np.int32)
         t_size = int(max(r.max_dist_x for r in recs)) + 1
         clin = np.zeros((B, t_size), np.int32)
         for b, r in enumerate(recs):
             clin[b] = clin_table_f32(r.avg_qspan, t_size)
 
-        (x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin) = shard_args(
-            mesh, x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin)
-        z, p0, t0, pk0 = shard_args(
-            mesh, np.zeros((B, N), np.int32), np.full((B, N), -1, np.int32),
-            np.full((B, N), -1, np.int32), np.zeros((B, N), np.int32))
-        scores, parents, peaks = _chain_dp_device(
-            x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
-            z, p0, t0, pk0, with_heuristics=False)
+        (x_lo, qi, span, st, n, mdxy, bw, clin) = shard_args(
+            mesh, x_lo, qi, span, st, n, mdxy, bw, clin)
+        scores, parents, peaks = _fast_chain_device(
+            x_lo, qi, span, st, n, mdxy, bw, clin)
         scores = np.asarray(scores)
         parents = np.asarray(parents)
         peaks = np.asarray(peaks)
