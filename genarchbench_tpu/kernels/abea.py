@@ -357,12 +357,20 @@ def _band_scan_device(ranks, ev_mean, n_events, n_kmers,
 
 
 def align_batch(seqs: List[str], event_tables: List[np.ndarray],
-                model, sample_rate: float = 4000.0):
+                model, sample_rate: float = 4000.0, mesh=None):
     """Adaptive banded alignment for a batch of reads.  Returns per
-    read the list of (kmer_idx, event_idx) pairs (empty on QC fail)."""
-    B = len(seqs)
-    n_ev = np.array([len(e) for e in event_tables], np.int32)
-    n_km = np.array([len(s) - KMER + 1 for s in seqs], np.int32)
+    read the list of (kmer_idx, event_idx) pairs (empty on QC fail).
+    With a mesh, reads shard data-parallel over the lane axis (the
+    reference's work-stealing pthread pool over reads,
+    abea/src/f5c.c:1143-1238, mapped to SPMD)."""
+    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
+    B0 = len(seqs)
+    B = pad_batch(B0, mesh)
+    n_ev = np.ones(B, np.int32)
+    n_km = np.ones(B, np.int32)
+    n_ev[:B0] = [len(e) for e in event_tables]
+    n_km[:B0] = [len(s) - KMER + 1 for s in seqs]
     NE = 1 << int(max(n_ev.max(), 1) - 1).bit_length()
     NK = 1 << int(max(n_km.max(), 1) - 1).bit_length()
     NB = int((n_ev + n_km).max()) + 2
@@ -370,8 +378,12 @@ def align_batch(seqs: List[str], event_tables: List[np.ndarray],
     ranks = np.zeros((B, NK), np.int32)
     ev_mean = np.zeros((B, NE), np.float32)
     shifts = np.zeros(B, np.float32)
-    scales = np.zeros(B, np.float32)
+    scales = np.ones(B, np.float32)
     lps = np.zeros((B, 4), np.float64)   # skip, stay, step, trim
+    lps[:, 0] = np.log(1e-10)
+    lps[:, 1] = np.log(0.5)
+    lps[:, 2] = np.log(1.0 - 1e-10 - 0.5)
+    lps[:, 3] = np.log(0.01)
     for i, (s, et) in enumerate(zip(seqs, event_tables)):
         ranks[i, :n_km[i]] = kmer_ranks(s)
         ev_mean[i, :n_ev[i]] = et[:, 2].astype(np.float32)
@@ -384,21 +396,26 @@ def align_batch(seqs: List[str], event_tables: List[np.ndarray],
         lp_step = np.log(1.0 - np.exp(lp_skip) - np.exp(lp_stay))
         lps[i] = (lp_skip, lp_stay, lp_step, np.log(0.01))
 
+    (ranks_j, ev_mean_j, n_ev_j, n_km_j, shifts_j, scales_j, lp0, lp1,
+     lp2, lp3) = shard_args(
+        mesh, ranks, ev_mean, n_ev, n_km, shifts, scales,
+        np.ascontiguousarray(lps[:, 0]), np.ascontiguousarray(lps[:, 1]),
+        np.ascontiguousarray(lps[:, 2]), np.ascontiguousarray(lps[:, 3]))
     with jax.enable_x64():
         out = _band_scan_device(
-            jnp.asarray(ranks), jnp.asarray(ev_mean),
-            jnp.asarray(n_ev), jnp.asarray(n_km),
-            jnp.asarray(shifts), jnp.asarray(scales),
+            jnp.asarray(ranks_j), jnp.asarray(ev_mean_j),
+            jnp.asarray(n_ev_j), jnp.asarray(n_km_j),
+            jnp.asarray(shifts_j), jnp.asarray(scales_j),
             jnp.asarray(model["level_mean"]),
             jnp.asarray(model["level_stdv"]),
             jnp.asarray(model["level_log_stdv"]),
-            jnp.asarray(lps[:, 0]), jnp.asarray(lps[:, 1]),
-            jnp.asarray(lps[:, 2]), jnp.asarray(lps[:, 3]),
+            jnp.asarray(lp0), jnp.asarray(lp1),
+            jnp.asarray(lp2), jnp.asarray(lp3),
             NB=NB, NE=NE, NK=NK)
     bands, traces, blls = (np.asarray(x) for x in out)
 
     results = []
-    for i in range(B):
+    for i in range(B0):
         results.append(_backtrace_one(
             bands[:, i], traces[:, i], blls[:, i], int(n_ev[i]),
             int(n_km[i]), seqs[i], ev_mean[i], model, shifts[i],
@@ -537,6 +554,8 @@ def run(argv: Sequence[str]) -> int:
             continue
         jobs.append((idx, contig, r.pos, ref_seq, raw))
 
+    from genarchbench_tpu.sharding.mesh import data_mesh
+    mesh = data_mesh()
     out = open(args.output, "w") if args.output else sys.stdout
     out.write(EVENTALIGN_HEADER)
     roi = ROITimer("abea", "Data processing time: {t:.3f} sec")
@@ -545,7 +564,7 @@ def run(argv: Sequence[str]) -> int:
             chunk = jobs[b0:b0 + args.batch]
             evs = [get_events(raw) for (_, _, _, _, raw) in chunk]
             seqs = [sq for (_, _, _, sq, _) in chunk]
-            pairs = align_batch(seqs, evs, model)
+            pairs = align_batch(seqs, evs, model, mesh=mesh)
             for (idx, contig, pos, sq, _), et, pr in zip(chunk, evs,
                                                          pairs):
                 sh, sc = estimate_scalings(sq, et, model)

@@ -95,3 +95,30 @@ def test_fmi_sharded_matches_single():
     sharded = search_reads(FMISearch(index, mesh=data_mesh(8)),
                            reads, 8, 19)
     assert single == sharded
+
+
+def test_abea_sharded_matches_single():
+    from genarchbench_tpu.kernels import abea
+    import pathlib
+    model_path = pathlib.Path(".refbuild/r94_model.txt")
+    if not model_path.exists():
+        pytest.skip("pore model dump not built")
+    model = abea.load_model(str(model_path))
+    rng = np.random.default_rng(16)
+    seqs, evs = [], []
+    for _ in range(5):
+        L = int(rng.integers(80, 140))
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+        ranks = abea.kmer_ranks(s)
+        means = model["level_mean"][ranks]
+        n_ev = int(len(ranks) * 1.4)
+        idx = np.sort(rng.integers(0, len(ranks), n_ev))
+        sig = means[idx] + rng.normal(0, 1.0, n_ev)
+        et = np.zeros((n_ev, 4), np.float64)
+        et[:, 2] = sig
+        et[:, 3] = 1.0
+        seqs.append(s)
+        evs.append(et)
+    single = abea.align_batch(seqs, evs, model)
+    sharded = abea.align_batch(seqs, evs, model, mesh=data_mesh(8))
+    assert single == sharded
