@@ -121,15 +121,24 @@ def _distinct_count_device(hi, lo):
 
 def count_distinct(reads: ReadSet, k: int,
                    batch_bases: int = 1 << 25) -> int:
-    """Distinct canonical k-mers across all reads: per-batch code
-    computation on device, codes stay resident, one global device
-    sort + count at the end.
+    """Total k-mers across all reads: per-batch (hi, lo) canonical-code
+    computation on device (the ~2k-op rolling-code kernel is where the
+    parallel work is), distinct-count merge on the HOST via np.unique.
 
     Reads are bucketed by POW2-padded length and processed in
     FIXED-size (B, L) chunks so the whole run compiles at most a couple
-    of distinct programs — variable shapes would recompile the ~2k-op
-    code kernel per batch (20-40 s each on a TPU tunnel), dwarfing the
-    compute."""
+    of distinct programs — variable shapes would recompile the code
+    kernel per batch (20-40 s each on a TPU tunnel).
+
+    The merge is deliberately host-side: XLA's 1-D sort of millions of
+    elements is minutes-slow on a single TPU core (measured), while
+    np.unique on the packed 34-bit codes is sub-second; the device sort
+    survives in `_distinct_count_device` for the multi-chip
+    `count_distinct_sharded` path where each shard's slice is small.
+
+    Replicates the reference's 8-bit counter overflow: a k-mer seen c
+    times contributes ceil(c / 256) (vertex_index.cpp:820-833 re-counts
+    on every wrap)."""
     from collections import defaultdict
 
     buckets = defaultdict(list)
@@ -150,16 +159,16 @@ def count_distinct(reads: ReadSet, k: int,
                 arr[row, :len(s)] = s
                 lens[row] = len(s)
             hi, lo = _codes_device(jnp.asarray(arr), jnp.asarray(lens), k=k)
-            parts.append((hi.ravel(), lo.ravel()))
+            hi = np.asarray(hi).ravel()
+            lo = np.asarray(lo).ravel()
+            real = hi < HI_SENTINEL
+            parts.append(hi[real].astype(np.int64) * 65536
+                         + lo[real].astype(np.int64))
     if not parts:
         return 0
-    hi = jnp.concatenate([p[0] for p in parts])
-    lo = jnp.concatenate([p[1] for p in parts])
-    n = hi.shape[0]
-    npad = (1 << max(n - 1, 1).bit_length()) - n    # pow2: stable jit shapes
-    hi = jnp.concatenate([hi, jnp.full(npad, HI_SENTINEL, jnp.int32)])
-    lo = jnp.concatenate([lo, jnp.zeros(npad, jnp.int32)])
-    return int(_distinct_count_device(hi, lo))
+    codes = np.concatenate(parts)
+    _, counts = np.unique(codes, return_counts=True)
+    return int(np.sum((counts + 255) // 256))
 
 
 def count_distinct_hostmerge(reads: ReadSet, k: int,
