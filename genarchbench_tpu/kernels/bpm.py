@@ -198,6 +198,10 @@ def run(argv: Sequence[str]) -> int:
     print("[Benchmark]", file=sys.stderr)
     print(f"=> Total.reads            {len(pairs)}", file=sys.stderr)
     roi.report()
+    cells = cell_updates(pairs)
+    if roi.elapsed > 0:
+        print(f"=> CellUpdates            {cells} "
+              f"({cells / roi.elapsed:.3e} cells/s)", file=sys.stderr)
 
     if args.output:
         # the reference prints the negated edit distance: benchmark_edit_bpm

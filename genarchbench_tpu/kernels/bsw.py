@@ -378,6 +378,10 @@ def run(argv: Sequence[str]) -> int:
     for i, s in enumerate(scores):
         print(f"[{i}] score={s}", file=sys.stderr)
     roi.report(file=sys.stdout)
+    cells = cell_updates(pairs)
+    if roi.elapsed > 0:
+        print(f"numCellsComputed = {cells} "
+              f"({cells / roi.elapsed:.3e} cells/s)")
     print(f"Total Pairs processed: {len(pairs)}")
     return 0
 

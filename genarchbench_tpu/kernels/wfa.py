@@ -435,6 +435,12 @@ def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
     return out
 
 
+def cell_updates(pairs: SeqPairs) -> int:
+    """Equivalent-DP-matrix cells (n*m per pair), the cross-platform
+    counter BASELINE.md uses for wfa throughput."""
+    return sum(len(p) * len(t) for p, t in zip(pairs.patterns, pairs.texts))
+
+
 def run(argv: Sequence[str]) -> int:
     """CLI compatible with the reference wfa align_benchmark
     (tools/align_benchmark.c:195-298): -i input [-o output] [-t threads]
@@ -457,6 +463,10 @@ def run(argv: Sequence[str]) -> int:
                            e=args.gap_extension, mesh=data_mesh())
     print(f"Total.reads: {len(pairs)}")
     roi.report(file=sys.stdout)
+    cells = cell_updates(pairs)
+    if roi.elapsed > 0:
+        print(f"CellUpdates: {cells} ({cells / roi.elapsed:.3e} cells/s)",
+              file=sys.stderr)
     if args.output:
         with open(args.output, "w") as f:
             f.writelines(f"id={i} {c}\n" for i, c in enumerate(cigars))
