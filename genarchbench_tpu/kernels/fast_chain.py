@@ -45,21 +45,31 @@ def clin_table_f32(avg_qspan: float, size: int) -> np.ndarray:
 
 
 @jax.jit
-def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, clin):
+def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, avg_qspan):
     """Chunk-vectorized fast-chain DP.
 
     x_lo (B,N) uint32; qi/span/st (B,N) int32; n/mdxy/bw (B,) int32
     (mdxy = min(max_dist_x, max_dist_y): the reference's two `dq >` tests
-    collapse); clin (B,T) int32.  Returns scores, parents, peaks (B,N)."""
+    collapse); avg_qspan (B,) float32.  Returns scores, parents (B,N).
+
+    Perf notes (measured on the tunnel TPU):
+      * gap linear term computed directly in f32 — the exact reference
+        expression `(int)(dd * 0.01f * avg_qspan)` (host_kernel.cpp:843)
+        — a gathered (B, max_dist_x) table was the dominant HBM traffic
+        (22.6 s -> 8.5 s);
+      * an anchor-major (N, B) transpose was tried and measured SLOWER
+        (38 s) — keep batch-major;
+      * peak_scores are NOT computed: the reference fills them
+        (host_kernel.cpp:863) but never prints them, and the output
+        contract (host_data_io.cpp:53-60) is scores + parents only."""
     B, N = x_lo.shape
-    T = clin.shape[1]
     i32 = jnp.int32
+    f32 = jnp.float32
     NEG = jnp.int32(-(1 << 30))
-    bidx = jnp.arange(B, dtype=i32)
     lane = jnp.arange(CHUNK, dtype=i32)
 
     def outer(i, state):
-        scores, parents, peaks = state
+        scores, parents = state
         act_i = i < n                                    # (B,)
         ri = x_lo[:, i]
         qi_i = qi[:, i]
@@ -88,8 +98,8 @@ def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, clin):
             cont = (dr == 0) | (dq <= 0) | (dq > mdxy[:, None]) \
                 | (dd > bw[:, None])
             eff = valid & ~cont
-            ddc = jnp.clip(dd, 0, T - 1)
-            c_lin = jnp.take_along_axis(clin, ddc, axis=1)
+            c_lin = ((dd.astype(f32) * f32(0.01))
+                     * avg_qspan[:, None]).astype(i32)
             log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
             sc0 = jnp.minimum(jnp.minimum(dq, dr), span_i[:, None])
             sc = sc0 - (c_lin + (log_dd >> 1)) + scj
@@ -107,20 +117,16 @@ def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, clin):
 
         scores = scores.at[:, i].set(jnp.where(act_i, maxf, 0))
         parents = parents.at[:, i].set(jnp.where(act_i, maxj, -1))
-        pk_j = peaks[bidx, jnp.maximum(maxj, 0)]
-        pk = jnp.where((maxj >= 0) & (pk_j > maxf), pk_j, maxf)
-        peaks = peaks.at[:, i].set(jnp.where(act_i, pk, 0))
-        return (scores, parents, peaks)
+        return (scores, parents)
 
-    zeros = jnp.zeros((B, N), i32)
-    state = (zeros, jnp.full((B, N), -1, i32), zeros)
-    scores, parents, peaks = lax.fori_loop(0, N, outer, state)
-    return scores, parents, peaks
+    state = (jnp.zeros((B, N), i32), jnp.full((B, N), -1, i32))
+    scores, parents = lax.fori_loop(0, N, outer, state)
+    return scores, parents
 
 
 def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
                      cell_budget: int = 1 << 22, mesh=None) -> List[tuple]:
-    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+    from genarchbench_tpu.sharding.mesh import pad_batch
 
     results: List[tuple] = [None] * len(records)
     plans = plan_batches([r.n for r in records], cell_budget=cell_budget)
@@ -138,21 +144,19 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
         mdxy[:len(recs)] = [min(r.max_dist_x, r.max_dist_y) for r in recs]
         bw = np.zeros(B, np.int32)
         bw[:len(recs)] = [r.bw for r in recs]
-        t_size = int(max(r.max_dist_x for r in recs)) + 1
-        clin = np.zeros((B, t_size), np.int32)
-        for b, r in enumerate(recs):
-            clin[b] = clin_table_f32(r.avg_qspan, t_size)
+        avg = np.zeros(B, np.float32)
+        avg[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
 
-        (x_lo, qi, span, st, n, mdxy, bw, clin) = shard_args(
-            mesh, x_lo, qi, span, st, n, mdxy, bw, clin)
-        scores, parents, peaks = _fast_chain_device(
-            x_lo, qi, span, st, n, mdxy, bw, clin)
+        from genarchbench_tpu.sharding.mesh import shard_args
+        (x_lo, qi, span, st, n, mdxy, bw, avg) = shard_args(
+            mesh, x_lo, qi, span, st, n, mdxy, bw, avg)
+        scores, parents = _fast_chain_device(
+            x_lo, qi, span, st, n, mdxy, bw, avg)
         scores = np.asarray(scores)
         parents = np.asarray(parents)
-        peaks = np.asarray(peaks)
         for b, k in enumerate(plan.indices):
             m = records[k].n
-            results[k] = (scores[b, :m], parents[b, :m], peaks[b, :m])
+            results[k] = (scores[b, :m], parents[b, :m], None)
     return results
 
 
