@@ -114,15 +114,8 @@ def _bpm_distance_device(peq, plen, text, tlen, W):
 
 
 def _use_pallas(backend: str) -> bool:
-    """auto => Pallas on real TPU, XLA elsewhere (the Pallas kernel runs
-    interpreted off-TPU, which is for tests only)."""
-    import os
-    backend = os.environ.get("GENARCH_BACKEND", backend)
-    if backend == "pallas":
-        return True
-    if backend == "xla":
-        return False
-    return jax.default_backend() == "tpu"
+    from genarchbench_tpu.core.backend import use_pallas
+    return use_pallas(backend)
 
 
 def bpm_batch(pairs: SeqPairs, max_batch: int = 8192,

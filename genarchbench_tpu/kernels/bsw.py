@@ -53,16 +53,31 @@ def fill_scmat(match: int, mismatch: int, ambig: int):
     return match, -mismatch, ambig
 
 
-@partial(jax.jit, static_argnames=(
-    "R", "match", "mismatch", "ambig",
-    "o_del", "e_del", "o_ins", "e_ins", "zdrop", "w"))
-def _bsw_device(seq1, seq2, len1, len2, h0, myband,
-                R, match, mismatch, ambig,
-                o_del, e_del, o_ins, e_ins, zdrop, w):
-    """Batched banded SW. seq1 (G,L,R), seq2 (G,L,C2) int32 (DUMMY-padded,
-    ambig bases = 0xFFFF); len1/len2/h0/myband (G,L) int32.  C2 is sized a
-    multiple of 128 (exact VPU lane tiles) and must exceed every len2.
-    Returns (score, tle, qle, max_off, gscore, gtle) each (G,L) int32."""
+def _prefix_max(x):
+    """Inclusive prefix max along the last axis via log-doubling shifts
+    (== lax.associative_scan(jnp.maximum): max is associative and
+    idempotent, so the combination order cannot change the result).
+    Written with pad+slice so it lowers both in XLA and in Mosaic."""
+    n = x.shape[-1]
+    sh = 1
+    while sh < n:
+        shifted = jnp.pad(x[..., :-sh], [(0, 0)] * (x.ndim - 1) + [(sh, 0)],
+                          constant_values=NEG)
+        x = jnp.maximum(x, shifted)
+        sh *= 2
+    return x
+
+
+def _row_factory(seq1_col, seq2, len1, len2, h0, myband,
+                 match, mismatch, ambig,
+                 o_del, e_del, o_ins, e_ins, zdrop, w):
+    """Build (initial_state, row_step) for the banded-SW row loop.
+    Shared by the XLA path (_bsw_device) and the Pallas kernel
+    (bsw_pallas.py) so their semantics are one implementation.
+
+    seq1_col: callable i -> (G, L) column of the reference sequences —
+    an accessor because Mosaic cannot dynamic-slice loaded VALUES; the
+    Pallas kernel indexes its ref, the XLA path slices the array."""
     G, L, C2 = seq2.shape
     i32 = jnp.int32
     oe_ins = o_ins + e_ins
@@ -85,7 +100,7 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
     state = dict(
         H_h=H_h, F=F,
         head=jnp.zeros((G, L), i32), tail=qlen.astype(i32),
-        exit0=jnp.ones((G, L), bool),
+        exit0=jnp.ones((G, L), i32),   # 0/1; Mosaic dislikes carried i1
         maxScore=h0.astype(i32),
         x=jnp.zeros((G, L), i32), y=jnp.zeros((G, L), i32),
         max_off=jnp.zeros((G, L), i32),
@@ -93,13 +108,14 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
         max_ie=jnp.zeros((G, L), i32),
         beg=jnp.zeros((G,), i32), end=ncol.astype(i32),
         nbeg=jnp.zeros((G,), i32), nend=ncol.astype(i32),
-        alive=jnp.ones((G,), bool),
+        alive=jnp.ones((G,), i32),
     )
 
     def row(i, st):
         H_h, F = st["H_h"], st["F"]
-        head, tail, exit0 = st["head"], st["tail"], st["exit0"]
-        act_g = st["alive"] & (i < nrow)                       # (G,)
+        head, tail = st["head"], st["tail"]
+        exit0 = st["exit0"] != 0
+        act_g = (st["alive"] != 0) & (i < nrow)                # (G,)
         act3 = act_g[:, None, None]
         act2 = act_g[:, None]
 
@@ -130,7 +146,7 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
         exit0 = jnp.where(act2, exit0 & ~dead, exit0)
 
         # ---- whole-row DP (kernel j-loop :3921-3993 vectorized) ----
-        s1 = seq1[:, :, i][:, :, None]                          # (G,L,1)
+        s1 = seq1_col(i)[:, :, None]                            # (G,L,1)
         s2 = seq2
         sbt = jnp.where(s1 == s2, match, mismatch)
         sbt = jnp.where(jnp.maximum(s1, s2) == AMBIG_SENTINEL, ambig, sbt)
@@ -141,7 +157,7 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
         # E chain: e' = max(max(m - oe_ins, 0), e - e_ins), e(beg) = 0
         A = jnp.maximum(m11 - oe_ins, 0)
         B = jnp.where(jmask, A + cols * e_ins, NEG)
-        S_inc = lax.associative_scan(jnp.maximum, B, axis=2)
+        S_inc = _prefix_max(B)
         S_exc = jnp.concatenate(
             [jnp.full((G, L, 1), NEG, i32), S_inc[:, :, :-1]], axis=2)
         e11 = jnp.where(cols == beg3, 0, S_exc - (cols - 1) * e_ins)
@@ -163,10 +179,11 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
         H_h = jnp.where(wmask, jnp.where(zstore, 0, sh), H_h)
         F = jnp.where(wmask, jnp.where(zstore, 0, f21), F)
         # trailing store at j=end (kernel :3994-3995): raw h11[end-1] (or the
-        # boundary value if the band was empty), F[end]=0
+        # boundary value if the band was empty), F[end]=0.  The single-
+        # element pick is a masked max (exact), not a gather — gathers
+        # don't lower in Mosaic and are slow on the VPU anyway.
         idx_end = jnp.maximum(end - 1, 0)[:, None, None]
-        h_endval = jnp.take_along_axis(h11, jnp.broadcast_to(idx_end, (G, L, 1)),
-                                       axis=2)[:, :, 0]
+        h_endval = jnp.max(jnp.where(cols == idx_end, h11, NEG), axis=2)
         h_endval = jnp.where((end > beg)[:, None], h_endval, h10_init)
         endmask = (cols == end3) & act3
         H_h = jnp.where(endmask, h_endval[:, :, None], H_h)
@@ -179,9 +196,10 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
         qual = mmask & (h11 == maxRS[:, :, None])
         y1 = jnp.max(jnp.where(qual, cols + 1, 0), axis=2)      # (G,L)
 
-        # gscore at each lane's last query column (kernel :3975-3993)
+        # gscore at each lane's last query column (kernel :3975-3993);
+        # masked-max single-element pick, as above
         qidx = jnp.maximum(qlen - 1, 0)[:, :, None]
-        h11q = jnp.take_along_axis(h11, qidx, axis=2)[:, :, 0]
+        h11q = jnp.max(jnp.where(cols == qidx, h11, NEG), axis=2)
         gupd = act2 & (qlen - 1 >= beg[:, None]) & (qlen - 1 < end[:, None]) \
             & exit0 & (qlen <= tail)
         gscore, max_ie = st["gscore"], st["max_ie"]
@@ -191,7 +209,7 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
         # whole-group zero row => break before the post-row updates
         # (kernel :3999-4003)
         allzero = jnp.all(maxRS == 0, axis=1) & act_g           # (G,)
-        alive = st["alive"] & ~allzero
+        alive = (st["alive"] != 0) & ~allzero
         post = act_g & ~allzero
         post2 = post[:, None]
 
@@ -239,11 +257,30 @@ def _bsw_device(seq1, seq2, len1, len2, h0, myband,
         index = jnp.where(run5 >= 1, lnq, tail)
         tail = jnp.where(post2, jnp.minimum(index + 2, qlen), tail)
 
-        return dict(H_h=H_h, F=F, head=head, tail=tail, exit0=exit0,
+        return dict(H_h=H_h, F=F, head=head, tail=tail,
+                    exit0=exit0.astype(i32),
                     maxScore=maxScore, x=x, y=y, max_off=max_off,
                     gscore=gscore, max_ie=max_ie,
-                    beg=beg, end=end, nbeg=nbeg, nend=nend, alive=alive)
+                    beg=beg, end=end, nbeg=nbeg, nend=nend,
+                    alive=alive.astype(i32))
 
+    return state, row
+
+
+@partial(jax.jit, static_argnames=(
+    "R", "match", "mismatch", "ambig",
+    "o_del", "e_del", "o_ins", "e_ins", "zdrop", "w"))
+def _bsw_device(seq1, seq2, len1, len2, h0, myband,
+                R, match, mismatch, ambig,
+                o_del, e_del, o_ins, e_ins, zdrop, w):
+    """Batched banded SW. seq1 (G,L,R), seq2 (G,L,C2) int32 (DUMMY-padded,
+    ambig bases = 0xFFFF); len1/len2/h0/myband (G,L) int32.  C2 is sized a
+    multiple of 128 (exact VPU lane tiles) and must exceed every len2.
+    Returns (score, tle, qle, max_off, gscore, gtle) each (G,L) int32."""
+    state, row = _row_factory(lambda i: seq1[:, :, i],
+                              seq2, len1, len2, h0, myband,
+                              match, mismatch, ambig,
+                              o_del, e_del, o_ins, e_ins, zdrop, w)
     st = lax.fori_loop(0, R, row, state)
     return (st["maxScore"], st["x"], st["y"], st["max_off"],
             st["gscore"], st["max_ie"])
@@ -269,7 +306,7 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
               match: int = 1, mismatch: int = 4, ambig: int = -1,
               o_del: int = 6, e_del: int = 1, o_ins: int = 6, e_ins: int = 1,
               zdrop: int = 100, w: int = 100, end_bonus: int = 5,
-              mesh=None) -> np.ndarray:
+              mesh=None, backend: str = "auto") -> np.ndarray:
     """Scores for all pairs in input order, replicating the reference's
     batch -> sort-by-len1 -> groups-of-8 pipeline.
 
@@ -333,11 +370,26 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
                 q_ = pairs.quers[sidx]
                 flat1[k, :len(r_)] = r_
                 flat2[k, :len(q_)] = q_
-        s1, s2, L1, L2, H0, MB = shard_args(mesh, s1, s2, L1, L2, H0, MB)
-        out = _bsw_device(s1, s2, L1, L2, H0, MB, R=R,
-                          match=match, mismatch=mis, ambig=amb,
-                          o_del=o_del, e_del=e_del, o_ins=o_ins,
-                          e_ins=e_ins, zdrop=zdrop, w=w)
+        from genarchbench_tpu.core.backend import pallas_interpret
+        # bsw's Pallas path is OPT-IN (backend="pallas"): the kernel is
+        # exact (shared _row_factory, parity-tested interpreted) but the
+        # current Mosaic lowering rejects the 1-D group-axis vectors
+        # ("Unsupported target bitwidth for truncation"), so it cannot
+        # compile on hardware yet; XLA stays the hardware default.
+        if backend == "pallas" and mesh is None:
+            from genarchbench_tpu.kernels.bsw_pallas import _bsw_pallas
+            out = _bsw_pallas(s1, s2, L1, L2, H0, MB, R=R,
+                              match=match, mismatch=mis, ambig=amb,
+                              o_del=o_del, e_del=e_del, o_ins=o_ins,
+                              e_ins=e_ins, zdrop=zdrop, w=w,
+                              interpret=pallas_interpret())
+        else:
+            s1, s2, L1, L2, H0, MB = shard_args(mesh, s1, s2, L1, L2,
+                                                H0, MB)
+            out = _bsw_device(s1, s2, L1, L2, H0, MB, R=R,
+                              match=match, mismatch=mis, ambig=amb,
+                              o_del=o_del, e_del=e_del, o_ins=o_ins,
+                              e_ins=e_ins, zdrop=zdrop, w=w)
         sc = np.asarray(out[0]).ravel()
         flat_src = src.ravel()
         scores[flat_src[valid.ravel()]] = sc[valid.ravel()]

@@ -48,3 +48,15 @@ def test_bsw_small_batches(bsw_ref, tmp_path):
                          error_rate=0.15)
     assert (our_scores(text, tmp_path, batch=16)
             == ref_scores(bsw_ref, text, tmp_path, batch=16))
+
+
+def test_bsw_pallas_backend_matches_xla(tmp_path):
+    """Pallas row kernel (interpreted off-TPU) == XLA path == reference."""
+    from genarchbench_tpu.io.bsw_io import read_bsw_pairs
+    from genarchbench_tpu.kernels.bsw import bsw_batch
+    rng = np.random.default_rng(77)
+    f = tmp_path / "pairs.txt"
+    f.write_text(gen_bsw_input(rng, n_pairs=24, ref_len=110, query_len=80))
+    pairs = read_bsw_pairs(str(f))
+    np.testing.assert_array_equal(bsw_batch(pairs, backend="xla"),
+                                  bsw_batch(pairs, backend="pallas"))
