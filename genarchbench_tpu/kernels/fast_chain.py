@@ -125,7 +125,10 @@ def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, avg_qspan):
 
 
 def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
-                     cell_budget: int = 1 << 22, mesh=None) -> List[tuple]:
+                     cell_budget: int = 1 << 23, mesh=None) -> List[tuple]:
+    """cell_budget 8M cells: the kernel is bound by the SEQUENTIAL
+    anchor loop (N steps), so wider batches amortize it — one (16k, 512)
+    batch beats two (8k, 512) batches at identical results."""
     from genarchbench_tpu.sharding.mesh import pad_batch
 
     results: List[tuple] = [None] * len(records)
