@@ -16,12 +16,23 @@ running (max_f, max_j) reduction carried across chunks.  The strict
 `sc > max_f` scan-descending tie rule ("first j seen wins" = largest j)
 is preserved exactly: a chunk updates only when its masked max beats the
 carry, selecting the largest j that attains it.
+
+End-to-end the kernel is TRANSFER-bound, not compute-bound (the tunnel
+moves device->host at ~45 MB/s vs ~1.4 GB/s host->device), so the host
+boundary is designed around bytes pulled:
+  * window starts are computed ON DEVICE (branchless 64-bit lower_bound
+    over the sorted anchor rows) instead of shipped,
+  * spans ship as uint8 (an 8-bit field of y by format, host_data.h),
+  * only the argmax PARENTS come back (int16 when N allows), and the
+    scores are reconstructed on the host in native C
+    (native/readers.c::fast_chain_scores) from the parent chain with
+    bit-identical f32 gap-cost arithmetic — an exact inverse because
+    score[i] = sc(i, parent[i]) + score[parent[i]] by construction.
 """
 
 from __future__ import annotations
 
 import sys
-from functools import partial
 from typing import List, Sequence
 
 import jax
@@ -32,7 +43,7 @@ from jax import lax
 from genarchbench_tpu.core.roi import ROITimer
 from genarchbench_tpu.io import chain_io
 from genarchbench_tpu.kernels.chain import MAX_ITER
-from genarchbench_tpu.sharding.batching import plan_batches, pad_stack
+from genarchbench_tpu.sharding.batching import plan_batches
 
 CHUNK = 128
 
@@ -44,13 +55,57 @@ def clin_table_f32(avg_qspan: float, size: int) -> np.ndarray:
     return ((dd * np.float32(0.01)) * np.float32(avg_qspan)).astype(np.int32)
 
 
+def _device_window_starts(x_hi, x_lo, n, mdx):
+    """Per-anchor window start `st` on device (host_kernel.cpp:56-57 的
+    two-pointer advance == running max of searchsorted, see
+    chain_io.ChainRecord.window_starts).
+
+    Branchless lower_bound over each row's valid prefix [0, n) with the
+    64-bit anchor compared as a (hi, lo) uint32 pair; log2(N) unrolled
+    gather steps, all (B, N) tensor ops."""
+    B, N = x_lo.shape
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    mdx_u = mdx.astype(u32)[:, None]
+    borrow = (x_lo < mdx_u).astype(u32)
+    th_lo = x_lo - mdx_u
+    th_hi_s = x_hi.astype(i32) - borrow.astype(i32)
+    neg = th_hi_s < 0                      # x < mdx: clamp threshold to 0
+    th_hi = jnp.where(neg, 0, th_hi_s).astype(u32)
+    th_lo = jnp.where(neg, 0, th_lo)
+
+    base = jnp.zeros((B, N), i32)
+    nb = n[:, None]
+    step = 1
+    while step < N:
+        step *= 2
+    while step:
+        cand = base + step
+        idx = jnp.clip(cand - 1, 0, N - 1)
+        ch = jnp.take_along_axis(x_hi, idx, axis=1)
+        cl = jnp.take_along_axis(x_lo, idx, axis=1)
+        less = (ch < th_hi) | ((ch == th_hi) & (cl < th_lo))
+        base = jnp.where((cand <= nb) & less, cand, base)
+        step //= 2
+
+    iota = jnp.arange(N, dtype=i32)[None, :]
+    st = jnp.maximum(base, iota - i32(MAX_ITER))
+    st = lax.associative_scan(jnp.maximum, st, axis=1)
+    st = jnp.minimum(st, iota)
+    return jnp.where(iota < nb, st, iota)   # pad anchors: empty window
+
+
 @jax.jit
-def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, avg_qspan):
+def _fast_chain_device(x_lo, x_hi, qi, span8, n, mdx, mdxy, bw, avg_qspan):
     """Chunk-vectorized fast-chain DP.
 
-    x_lo (B,N) uint32; qi/span/st (B,N) int32; n/mdxy/bw (B,) int32
-    (mdxy = min(max_dist_x, max_dist_y): the reference's two `dq >` tests
-    collapse); avg_qspan (B,) float32.  Returns scores, parents (B,N).
+    x_lo/x_hi (B,N) uint32; qi (B,N) int32; span8 (B,N) uint8 (y's 8-bit
+    span field, host_data.h); n/mdx/mdxy/bw (B,) int32 (mdxy =
+    min(max_dist_x, max_dist_y): the reference's two `dq >` tests
+    collapse); avg_qspan (B,) float32.
+    Returns (parents_small, scores) — parents int16 when N fits, and the
+    full int32 scores (left on device; only pulled by the no-native
+    fallback).
 
     Perf notes (measured on the tunnel TPU):
       * gap linear term computed directly in f32 — the exact reference
@@ -67,6 +122,8 @@ def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, avg_qspan):
     f32 = jnp.float32
     NEG = jnp.int32(-(1 << 30))
     lane = jnp.arange(CHUNK, dtype=i32)
+    span = span8.astype(i32)
+    st = _device_window_starts(x_hi, x_lo, n, mdx)
 
     def outer(i, state):
         scores, parents = state
@@ -74,8 +131,8 @@ def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, avg_qspan):
         ri = x_lo[:, i]
         qi_i = qi[:, i]
         span_i = span[:, i]
-        st_i = jnp.where(act_i, st[:, i], i)             # empty window if pad
-        min_st = jnp.min(jnp.where(act_i, st_i, i))
+        st_i = st[:, i]
+        min_st = jnp.min(st_i)
 
         def cond(c):
             cidx = c[0]
@@ -98,8 +155,10 @@ def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, avg_qspan):
             cont = (dr == 0) | (dq <= 0) | (dq > mdxy[:, None]) \
                 | (dd > bw[:, None])
             eff = valid & ~cont
-            c_lin = ((dd.astype(f32) * f32(0.01))
-                     * avg_qspan[:, None]).astype(i32)
+            # explicit floor: TPU's f32->s32 convert rounds to NEAREST,
+            # the C cast truncates (dd=40, avg=27.5: 10.999999 -> 11 vs 10)
+            c_lin = jnp.floor((dd.astype(f32) * f32(0.01))
+                              * avg_qspan[:, None]).astype(i32)
             log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
             sc0 = jnp.minimum(jnp.minimum(dq, dr), span_i[:, None])
             sc = sc0 - (c_lin + (log_dd >> 1)) + scj
@@ -121,7 +180,8 @@ def _fast_chain_device(x_lo, qi, span, st, n, mdxy, bw, avg_qspan):
 
     state = (jnp.zeros((B, N), i32), jnp.full((B, N), -1, i32))
     scores, parents = lax.fori_loop(0, N, outer, state)
-    return scores, parents
+    pdtype = jnp.int16 if N <= (1 << 15) - 1 else jnp.int32
+    return parents.astype(pdtype), scores
 
 
 def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
@@ -129,20 +189,30 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
     """cell_budget 8M cells: the kernel is bound by the SEQUENTIAL
     anchor loop (N steps), so wider batches amortize it — one (16k, 512)
     batch beats two (8k, 512) batches at identical results."""
-    from genarchbench_tpu.sharding.mesh import pad_batch
+    from genarchbench_tpu import native
+    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
 
     results: List[tuple] = [None] * len(records)
     plans = plan_batches([r.n for r in records], cell_budget=cell_budget)
+
+    pending = []           # (plan, host arrays, device result handles)
     for plan in plans:
         recs = [records[k] for k in plan.indices]
         B, N = pad_batch(plan.batch, mesh), plan.length
-        x_lo = pad_stack([r.x_lo for r in recs], B, N, dtype=np.uint32)
-        qi = pad_stack([r.qi for r in recs], B, N, dtype=np.int32)
-        span = pad_stack([r.q_span for r in recs], B, N, dtype=np.int32)
-        st = pad_stack([r.window_starts(MAX_ITER) for r in recs], B, N,
-                       dtype=np.int32)
+        x_pad = np.zeros((B, N), np.uint64)
+        y_pad = np.zeros((B, N), np.uint64)
+        for b, r in enumerate(recs):
+            x_pad[b, :r.n] = r.x
+            y_pad[b, :r.n] = r.y
+        # one vectorized bit-slice per field instead of 4 ops per record
+        x_lo = (x_pad & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        x_hi = (x_pad >> np.uint64(32)).astype(np.uint32)
+        qi = (y_pad & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        span = ((y_pad >> np.uint64(32)) & np.uint64(0xFF)).astype(np.uint8)
         n = np.zeros(B, np.int32)
         n[:len(recs)] = [r.n for r in recs]
+        mdx = np.zeros(B, np.int32)
+        mdx[:len(recs)] = [r.max_dist_x for r in recs]
         mdxy = np.zeros(B, np.int32)
         mdxy[:len(recs)] = [min(r.max_dist_x, r.max_dist_y) for r in recs]
         bw = np.zeros(B, np.int32)
@@ -150,13 +220,23 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
         avg = np.zeros(B, np.float32)
         avg[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
 
-        from genarchbench_tpu.sharding.mesh import shard_args
-        (x_lo, qi, span, st, n, mdxy, bw, avg) = shard_args(
-            mesh, x_lo, qi, span, st, n, mdxy, bw, avg)
-        scores, parents = _fast_chain_device(
-            x_lo, qi, span, st, n, mdxy, bw, avg)
-        scores = np.asarray(scores)
-        parents = np.asarray(parents)
+        dargs = shard_args(mesh, x_lo, x_hi, qi, span, n, mdx, mdxy, bw, avg)
+        parents_d, scores_d = _fast_chain_device(*dargs)
+        # start the transfer NOW; pulls of later plans overlap it
+        try:
+            parents_d.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append((plan, recs, n, avg, x_lo, qi, span,
+                        parents_d, scores_d))
+
+    for (plan, recs, n, avg, x_lo, qi, span,
+         parents_d, scores_d) in pending:
+        parents = np.asarray(parents_d).astype(np.int32)
+        scores = native.fast_chain_scores_native(
+            n, avg, x_lo, qi, span, parents)
+        if scores is None:                 # no C toolchain: pull wide
+            scores = np.asarray(scores_d)
         for b, k in enumerate(plan.indices):
             m = records[k].n
             results[k] = (scores[b, :m], parents[b, :m], None)

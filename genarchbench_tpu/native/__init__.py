@@ -110,6 +110,10 @@ def readers_lib() -> Optional[ctypes.CDLL]:
     lib.chain_load.restype = i64
     lib.chain_load.argtypes = [ctypes.c_char_p, p64, pd, p64, p64, p64,
                                p64, pu64, pu64]
+    lib.fast_chain_scores.restype = None
+    lib.fast_chain_scores.argtypes = [
+        i64, i64, p64, pd, ctypes.POINTER(ctypes.c_uint32), p32, pu8,
+        p32, p32]
     _READERS = lib
     return lib
 
@@ -230,6 +234,29 @@ def chain_native(path: str):
                     xs[w:w + n_i].copy(), ys[w:w + n_i].copy()))
         w += n_i
     return out
+
+
+def fast_chain_scores_native(ns, avg, x_lo, qi, span, parents):
+    """Reconstruct fast-chain scores (B,N) i32 from padded parents;
+    None when the native library is unavailable."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    B, N = parents.shape
+    ns = np.ascontiguousarray(ns, np.int64)
+    avg = np.ascontiguousarray(avg, np.float64)
+    x_lo = np.ascontiguousarray(x_lo, np.uint32)
+    qi = np.ascontiguousarray(qi, np.int32)
+    span = np.ascontiguousarray(span, np.uint8)
+    parents = np.ascontiguousarray(parents, np.int32)
+    scores = np.zeros((B, N), np.int32)
+    lib.fast_chain_scores(
+        B, N, _as_ptr(ns, ctypes.c_int64), _as_ptr(avg, ctypes.c_double),
+        _as_ptr(x_lo, ctypes.c_uint32), _as_ptr(qi, ctypes.c_int32),
+        _as_ptr(span, ctypes.c_uint8), _as_ptr(parents, ctypes.c_int32),
+        _as_ptr(scores, ctypes.c_int32))
+    return scores
 
 
 def bgzf_decompress(raw: bytes) -> Optional[bytes]:

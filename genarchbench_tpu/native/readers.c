@@ -367,3 +367,39 @@ int64_t chain_load(const char *path, int64_t *ns, double *avg,
     rd_close(&r);
     return nr;
 }
+
+/* fast-chain score reconstruction from device-computed parents.
+ *
+ * The TPU kernel (kernels/fast_chain.py) returns only the argmax
+ * parents (int16/int32); the scores follow exactly from the parent
+ * chain: score[i] = parent<0 ? span[i]
+ *                 : min(dq,dr,span[i]) - (clin + (log_dd>>1)) + score[p]
+ * with the reference's own f32 gap cost (fast-chain/src/host_kernel.cpp:843)
+ * reproduced bit-for-bit.  Halves the device->host transfer. */
+void fast_chain_scores(int64_t B, int64_t N, const int64_t *ns,
+                       const double *avg, const uint32_t *x_lo,
+                       const int32_t *qi, const uint8_t *span,
+                       const int32_t *parents, int32_t *scores) {
+    for (int64_t b = 0; b < B; b++) {
+        const uint32_t *xl = x_lo + b * N;
+        const int32_t *q = qi + b * N;
+        const uint8_t *sp = span + b * N;
+        const int32_t *par = parents + b * N;
+        int32_t *sc = scores + b * N;
+        float av = (float)avg[b];
+        int64_t n = ns[b];
+        for (int64_t i = 0; i < n; i++) {
+            int32_t p = par[i];
+            if (p < 0) { sc[i] = sp[i]; continue; }
+            int32_t dr = (int32_t)(xl[i] - xl[p]);
+            int32_t dq = q[i] - q[p];
+            int32_t dd = dr - dq;
+            if (dd < 0) dd = -dd;
+            int32_t log_dd = dd ? 31 - __builtin_clz((uint32_t)dd) : 0;
+            int32_t clin = (int32_t)(((float)dd * 0.01f) * av);
+            int32_t sc0 = dq < dr ? dq : dr;
+            if ((int32_t)sp[i] < sc0) sc0 = sp[i];
+            sc[i] = sc0 - (clin + (log_dd >> 1)) + sc[p];
+        }
+    }
+}
