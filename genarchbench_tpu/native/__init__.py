@@ -92,6 +92,9 @@ def readers_lib() -> Optional[ctypes.CDLL]:
     p32 = ctypes.POINTER(ctypes.c_int32)
     pu64 = ctypes.POINTER(ctypes.c_uint64)
     pd = ctypes.POINTER(ctypes.c_double)
+    lib.nib_fill_pack.restype = None
+    lib.nib_fill_pack.argtypes = [pu8, p64, p64, p32, i64, i64,
+                                  ctypes.c_uint8, pu8]
     lib.fasta_scan.restype = i64
     lib.fasta_scan.argtypes = [ctypes.c_char_p, i64, p64, p64, p64]
     lib.fasta_load.restype = i64
@@ -273,3 +276,22 @@ def bgzf_decompress(raw: bytes) -> Optional[bytes]:
     if w != n:
         return None
     return bytes(buf)
+
+
+def nib_fill_pack(flat, off, src, lens, width: int, dummy: int):
+    """C gather+4-bit-pack for bsw batch assembly; None -> caller falls
+    back to the numpy path.  flat uint8, off int64 (n+1), src int64
+    (rows,), lens int32 (rows,) -> (rows, width//2) uint8."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    rows = len(src)
+    out = np.empty((rows, width // 2), np.uint8)
+    lib.nib_fill_pack(_as_ptr(flat, ctypes.c_uint8),
+                      _as_ptr(off, ctypes.c_int64),
+                      _as_ptr(src, ctypes.c_int64),
+                      _as_ptr(lens, ctypes.c_int32),
+                      rows, width, dummy,
+                      _as_ptr(out, ctypes.c_uint8))
+    return out

@@ -403,3 +403,27 @@ void fast_chain_scores(int64_t B, int64_t N, const int64_t *ns,
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* bsw batch assembly: gather + 4-bit pack (two bases/byte)            */
+/* ------------------------------------------------------------------ */
+
+/* flat: nibble-coded base pool; off: per-pair start offsets; src: pair
+ * index per output row (-1 = padding row); lens: valid length per row.
+ * out: (rows, width/2) packed, `dummy` nibble past each row's length. */
+void nib_fill_pack(const uint8_t *flat, const int64_t *off,
+                   const int64_t *src, const int32_t *lens,
+                   int64_t rows, int64_t width, uint8_t dummy,
+                   uint8_t *out) {
+    int64_t wb = width / 2;
+    uint8_t dd = (uint8_t)(dummy | (dummy << 4));
+    for (int64_t r = 0; r < rows; r++) {
+        const uint8_t *s = flat + (src[r] >= 0 ? off[src[r]] : 0);
+        int64_t len = src[r] >= 0 ? lens[r] : 0;
+        uint8_t *o = out + r * wb;
+        int64_t i = 0;
+        for (; i + 1 < len; i += 2) o[i >> 1] = (uint8_t)(s[i] | (s[i + 1] << 4));
+        if (i < len) { o[i >> 1] = (uint8_t)(s[i] | (dummy << 4)); i += 2; }
+        for (; i < width; i += 2) o[i >> 1] = dd;
+    }
+}
