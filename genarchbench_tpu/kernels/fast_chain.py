@@ -46,6 +46,7 @@ from genarchbench_tpu.kernels.chain import MAX_ITER
 from genarchbench_tpu.sharding.batching import plan_batches
 
 CHUNK = 128
+TILE = 128
 
 
 def clin_table_f32(avg_qspan: float, size: int) -> np.ndarray:
@@ -97,15 +98,30 @@ def _device_window_starts(x_hi, x_lo, n, mdx):
 
 @jax.jit
 def _fast_chain_device(x_lo, x_hi, qi, span8, n, mdx, mdxy, bw, avg_qspan):
-    """Chunk-vectorized fast-chain DP.
+    """Tile-structured fast-chain DP.
 
     x_lo/x_hi (B,N) uint32; qi (B,N) int32; span8 (B,N) uint8 (y's 8-bit
     span field, host_data.h); n/mdx/mdxy/bw (B,) int32 (mdxy =
     min(max_dist_x, max_dist_y): the reference's two `dq >` tests
-    collapse); avg_qspan (B,) float32.
+    collapse); avg_qspan (B,) float32.  N must be a multiple of T.
     Returns (parents_small, scores) — parents int16 when N fits, and the
     full int32 scores (left on device; only pulled by the no-native
     fallback).
+
+    The anchor loop is the wall — score[i] can depend on score[i-1], so
+    i must advance sequentially — but only the TRIANGLE of a T-wide
+    band is truly sequential.  Anchors are processed T=128 at a time:
+      * FAR pass: every predecessor j below the tile already has a final
+        score, so all T windows scan the earlier anchors together in
+        (B, T, CHUNK) fused chunks — the whole O(N·window) cell count
+        collapses into ~N/CHUNK big VPU dispatches per tile instead of
+        one small dispatch per anchor.
+      * NEAR pass: the in-tile triangle runs one anchor per micro-step,
+        a single (B, T) op against the tile-local score buffer.
+    The strict `sc > max_f` descending-scan tie rule ("first j seen
+    wins" = largest j) is preserved: near j's are all larger than far
+    j's, so near wins ties (`nearf >= farf`), and each pass selects the
+    largest j attaining its max.
 
     Perf notes (measured on the tunnel TPU):
       * gap linear term computed directly in f32 — the exact reference
@@ -121,65 +137,110 @@ def _fast_chain_device(x_lo, x_hi, qi, span8, n, mdx, mdxy, bw, avg_qspan):
     i32 = jnp.int32
     f32 = jnp.float32
     NEG = jnp.int32(-(1 << 30))
-    lane = jnp.arange(CHUNK, dtype=i32)
     span = span8.astype(i32)
     st = _device_window_starts(x_hi, x_lo, n, mdx)
+    lane = jnp.arange(CHUNK, dtype=i32)
+    T = min(TILE, N)     # N is pow2, so N % T == 0 always
+    tlane = jnp.arange(T, dtype=i32)
 
-    def outer(i, state):
+    def pair_scores(ri, qi_i, span_i, xs, qs, scj):
+        """Reference score of anchor (ri, qi_i, span_i) vs predecessors
+        (xs, qs) with scores scj; all args broadcastable."""
+        dr = (ri - xs).astype(i32)
+        dq = qi_i - qs
+        dd = jnp.abs(dr - dq)
+        cont = (dr == 0) | (dq <= 0) | (dq > mdxy[:, None, None]) \
+            | (dd > bw[:, None, None])
+        # explicit floor: TPU's f32->s32 convert rounds to NEAREST,
+        # the C cast truncates (dd=40, avg=27.5: 10.999999 -> 11 vs 10)
+        c_lin = jnp.floor((dd.astype(f32) * f32(0.01))
+                          * avg_qspan[:, None, None]).astype(i32)
+        log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
+        sc0 = jnp.minimum(jnp.minimum(dq, dr), span_i)
+        return jnp.where(cont, NEG, sc0 - (c_lin + (log_dd >> 1)) + scj)
+
+    def tile_loop(t, state):
         scores, parents = state
-        act_i = i < n                                    # (B,)
-        ri = x_lo[:, i]
-        qi_i = qi[:, i]
-        span_i = span[:, i]
-        st_i = st[:, i]
-        min_st = jnp.min(st_i)
+        t0 = t * T
+        ri_t = lax.dynamic_slice(x_lo, (0, t0), (B, T))
+        qi_t = lax.dynamic_slice(qi, (0, t0), (B, T))
+        span_t = lax.dynamic_slice(span, (0, t0), (B, T))
+        st_t = lax.dynamic_slice(st, (0, t0), (B, T))
+        act_t = (t0 + tlane)[None, :] < n[:, None]       # (B, T)
+        min_st = jnp.min(st_t)                           # pad st=i >= t0
 
-        def cond(c):
+        # ---- FAR: finalized predecessors j < t0, chunked descending ----
+        def fcond(c):
             cidx = c[0]
-            jtop = i - 1 - cidx * CHUNK
-            return (jtop >= 0) & (jtop >= min_st)
+            top = t0 - 1 - cidx * CHUNK
+            return (top >= 0) & (top >= min_st)
 
-        def body(c):
-            cidx, maxf, maxj = c
-            jtop = i - 1 - cidx * CHUNK                  # top j this chunk
-            start = jnp.maximum(jtop - CHUNK + 1, 0)
-            js = start + lane                            # ascending (CHUNK,)
-            valid = act_i[:, None] & (js[None, :] >= st_i[:, None]) \
-                & (js[None, :] <= jtop)
-            xs = lax.dynamic_slice(x_lo, (0, start), (B, CHUNK))
-            qs = lax.dynamic_slice(qi, (0, start), (B, CHUNK))
-            scj = lax.dynamic_slice(scores, (0, start), (B, CHUNK))
-            dr = (ri[:, None] - xs).astype(i32)
-            dq = qi_i[:, None] - qs
-            dd = jnp.abs(dr - dq)
-            cont = (dr == 0) | (dq <= 0) | (dq > mdxy[:, None]) \
-                | (dd > bw[:, None])
-            eff = valid & ~cont
-            # explicit floor: TPU's f32->s32 convert rounds to NEAREST,
-            # the C cast truncates (dd=40, avg=27.5: 10.999999 -> 11 vs 10)
-            c_lin = jnp.floor((dd.astype(f32) * f32(0.01))
-                              * avg_qspan[:, None]).astype(i32)
-            log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
-            sc0 = jnp.minimum(jnp.minimum(dq, dr), span_i[:, None])
-            sc = sc0 - (c_lin + (log_dd >> 1)) + scj
-            scm = jnp.where(eff, sc, NEG)
-            cm = jnp.max(scm, axis=1)                    # (B,)
-            # largest j attaining cm = "first seen" in the descending scan
-            jsel = jnp.max(jnp.where(scm == cm[:, None], js[None, :], -1),
-                           axis=1)
-            upd = cm > maxf
-            return (cidx + 1, jnp.where(upd, cm, maxf),
-                    jnp.where(upd, jsel, maxj))
+        def fbody(c):
+            cidx, farf, farj = c
+            c0 = t0 - (cidx + 1) * CHUNK
+            js = c0 + lane                               # (CHUNK,)
+            xs = lax.dynamic_slice(x_lo, (0, c0), (B, CHUNK))
+            qs = lax.dynamic_slice(qi, (0, c0), (B, CHUNK))
+            scj = lax.dynamic_slice(scores, (0, c0), (B, CHUNK))
+            sc = pair_scores(ri_t[:, :, None], qi_t[:, :, None],
+                             span_t[:, :, None], xs[:, None, :],
+                             qs[:, None, :], scj[:, None, :])
+            eff = (js[None, None, :] >= st_t[:, :, None]) & act_t[:, :, None]
+            scm = jnp.where(eff, sc, NEG)                # (B, T, CHUNK)
+            cm = jnp.max(scm, axis=2)
+            jsel = jnp.max(jnp.where(scm == cm[:, :, None],
+                                     js[None, None, :], -1), axis=2)
+            upd = cm > farf                              # descending chunks:
+            return (cidx + 1, jnp.where(upd, cm, farf),  # ties keep larger j
+                    jnp.where(upd, jsel, farj))
 
-        _, maxf, maxj = lax.while_loop(
-            cond, body, (jnp.int32(0), span_i, jnp.full(B, -1, i32)))
+        _, farf, farj = lax.while_loop(
+            fcond, fbody,
+            (jnp.int32(0), jnp.full((B, T), NEG, i32),
+             jnp.full((B, T), -1, i32)))
 
-        scores = scores.at[:, i].set(jnp.where(act_i, maxf, 0))
-        parents = parents.at[:, i].set(jnp.where(act_i, maxj, -1))
+        # ---- NEAR: the in-tile triangle, one anchor per micro-step ----
+        js_t = (t0 + tlane)[None, :]                     # (1, T)
+
+        def nbody(l, c):
+            sc_t, pa_t = c
+            ri = lax.dynamic_slice(ri_t, (0, l), (B, 1))
+            qii = lax.dynamic_slice(qi_t, (0, l), (B, 1))
+            spi = lax.dynamic_slice(span_t, (0, l), (B, 1))
+            sti = lax.dynamic_slice(st_t, (0, l), (B, 1))
+            sc = pair_scores(ri[:, :, None], qii[:, :, None],
+                             spi[:, :, None], ri_t[:, None, :],
+                             qi_t[:, None, :], sc_t[:, None, :])[:, 0, :]
+            eff = (tlane[None, :] < l) & (js_t >= sti)
+            scm = jnp.where(eff, sc, NEG)                # (B, T)
+            nearf = jnp.max(scm, axis=1)
+            nearj = jnp.max(jnp.where(scm == nearf[:, None], js_t, -1),
+                            axis=1)
+            ff = lax.dynamic_slice(farf, (0, l), (B, 1))[:, 0]
+            fj = lax.dynamic_slice(farj, (0, l), (B, 1))[:, 0]
+            nwin = nearf >= ff                           # near = larger j
+            cand = jnp.maximum(nearf, ff)
+            cj = jnp.where(nwin, nearj, fj)
+            spi0 = spi[:, 0]
+            good = cand > spi0                           # strict sc > max_f
+            val = jnp.where(good, cand, spi0)
+            pj = jnp.where(good, cj, -1)
+            acl = act_t[:, l]
+            one = (tlane[None, :] == l)
+            sc_t = jnp.where(one, jnp.where(acl, val, 0)[:, None], sc_t)
+            pa_t = jnp.where(one, jnp.where(acl, pj, -1)[:, None], pa_t)
+            return (sc_t, pa_t)
+
+        sc_t, pa_t = lax.fori_loop(
+            0, T, nbody,
+            (jnp.zeros((B, T), i32), jnp.full((B, T), -1, i32)))
+
+        scores = lax.dynamic_update_slice(scores, sc_t, (0, t0))
+        parents = lax.dynamic_update_slice(parents, pa_t, (0, t0))
         return (scores, parents)
 
     state = (jnp.zeros((B, N), i32), jnp.full((B, N), -1, i32))
-    scores, parents = lax.fori_loop(0, N, outer, state)
+    scores, parents = lax.fori_loop(0, N // T, tile_loop, state)
     pdtype = jnp.int16 if N <= (1 << 15) - 1 else jnp.int32
     return parents.astype(pdtype), scores
 

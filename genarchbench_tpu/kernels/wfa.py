@@ -16,16 +16,28 @@ TPU-first design:
   * one score step advances a whole BATCH of pairs in lock-step: every
     wavefront recurrence is a (B, D) vector op over all diagonals of all
     lanes at once (the reference computes one pair, one k at a time).
-  * wavefront history lives in HBM as dense (B, Scap, D) int32 arrays
-    updated in place through the `lax.while_loop` carry; per-score lo/hi
-    bounds + existence flags reproduce the reference's sparse wavefront
-    allocation exactly (NULL cells = -10 sentinel, same arithmetic).
+  * compute state is a RING of the last max(x, o+e)+1 wavefronts — the
+    only scores the recurrences ever read — so the per-step working set
+    is (B, 9, D) regardless of how high scores go.
+  * instead of dense offset histories, the forward pass records a
+    COMPACT BACKTRACE STORE: one byte of op codes (which of the five
+    backtrace candidates de/do/ie/io/mm wins under the reference's
+    priority, plus the I- and D-cell binary choices) and one int16 of
+    exact-extension run length per (score, diagonal) cell.  That is 3
+    bytes/cell versus 12 for the three offset planes, and the decisions
+    are *precomputed with the reference's exact comparison semantics*,
+    so the backtrace never re-derives offsets.
+  * the score cap grows by RESUMING: all loop state (ring, stores,
+    bounds, score) round-trips through the jit carry, so when some lanes
+    exceed the cap the stores are padded (device-side) and the same
+    while_loop continues — finished lanes idle under their masks, no
+    work is re-done.
   * exact extension compares 4 bases per iteration with masked gathers
     (the vector analogue of the reference's SVE 4-byte gather + clz,
     affine_wavefront_extend.c:173-236).
-  * the backtrace also runs on device, all lanes stepping together with
-    masks; emitted (gap, matches, op) step records are assembled into
-    RLE CIGARs on the host.
+  * the backtrace also runs on device, all lanes stepping together,
+    reading only the op/extension stores; emitted (gap, matches, op)
+    step records are assembled into RLE CIGARs on the host.
 """
 
 from __future__ import annotations
@@ -33,7 +45,7 @@ from __future__ import annotations
 import sys
 from collections import defaultdict
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -47,48 +59,42 @@ NULL = -10              # AFFINE_WAVEFRONT_OFFSET_NULL (affine_wavefront.h:48)
 NEG = -(1 << 29)        # "absent term" for masked maxes (never observable)
 OP_NONE, OP_D, OP_I, OP_X = 0, 1, 2, 3
 BT_M, BT_I, BT_D = 0, 1, 2
+# op codes stored per M cell (backtrace candidate priority order,
+# affine_wavefront_backtrace.c:310-370)
+C_DE, C_DO, C_IE, C_IO, C_MM = 0, 1, 2, 3, 4
 
 
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("K0", "D", "Scap", "x", "o", "e"))
-def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
-    """Forward wavefronts for a batch.
+def _ring_size(x: int, o: int, e: int) -> int:
+    return max(x, o + e) + 1
 
-    pattern (B,Lp) / text (B,Lt) int32, plen/tlen (B,) int32.  Diagonal k
-    is stored at index j = k + K0.  Returns history arrays + per-lane
-    final score and done flag."""
+
+@partial(jax.jit, static_argnames=("K0", "D", "Scap", "x", "o", "e"))
+def _wfa_forward(pattern, text, plen, tlen, state, K0, D, Scap, x, o, e):
+    """Advance the batched score loop until every lane completes or the
+    score cap is hit.  `state` is the full resumable carry (see
+    `_init_state`); diagonal k is stored at index j = k + K0."""
     B = pattern.shape[0]
-    Lp, Lt = pattern.shape[1], text.shape[1]
     i32 = jnp.int32
     oe = o + e
+    RS = _ring_size(x, o, e)
 
     jj = lax.broadcasted_iota(i32, (1, D), 1)               # diag index
     kk = jj - K0                                            # diag value
     ak = (tlen - plen)[:, None]                             # (B,1) align diag
-    jak = (tlen - plen + K0)                                # (B,) align index
+    jak = jnp.clip(tlen - plen + K0, 0, D - 1)              # (B,) align index
 
-    Mh = jnp.full((B, Scap, D), NULL, i32)
-    Ih = jnp.full((B, Scap, D), NULL, i32)
-    Dh = jnp.full((B, Scap, D), NULL, i32)
-    # m[0] = {k=0: 0}
-    Mh = Mh.at[:, 0, K0].set(0)
-    lo_init = jnp.full((B, Scap), 1, i32)
-    hi_init = jnp.full((B, Scap), -1, i32)
-    mlo = lo_init.at[:, 0].set(0)
-    mhi = hi_init.at[:, 0].set(0)
-    ilo, ihi = lo_init, hi_init
-    dlo, dhi = lo_init, hi_init
-    mex = jnp.zeros((B, Scap), bool).at[:, 0].set(True)
-    iex = jnp.zeros((B, Scap), bool)
-    dex = jnp.zeros((B, Scap), bool)
+    def ring_row(H, s):
+        """(B,D) ring row holding wavefront s (garbage when s<0 or
+        older than RS — callers mask those via `bounds`)."""
+        t = lax.rem(jnp.maximum(s, 0), jnp.asarray(RS, i32))
+        return lax.dynamic_slice(H, (0, t, 0), (B, 1, D))[:, 0, :]
 
     def fetch_row(H, s):
-        """(B,D) offsets at score s (NULL row when s<0)."""
-        t = jnp.maximum(s, 0)
-        row = lax.dynamic_slice(H, (0, t, 0), (B, 1, D))[:, 0, :]
+        row = ring_row(H, s)
         return jnp.where(s >= 0, row, NULL)
 
     def bounds(ex, lo, hi, s):
@@ -126,18 +132,24 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
         off, _ = lax.while_loop(cond, body, (Ms, act0))
         return off
 
-    def step(carry):
+    def step(st):
         (Mh, Ih, Dh, mlo, mhi, ilo, ihi, dlo, dhi, mex, iex, dex,
-         s, done, fscore) = carry
+         ops, ext, s, done, fscore, foff) = st
 
         # ---- extend m[s] (affine_wavefront_extend.c:237-255) ----
         live = ~done
         mex_s, mlo_s, mhi_s = bounds(mex, mlo, mhi, s)
-        Ms = fetch_row(Mh, s)
+        Ms0 = fetch_row(Mh, s)
         act = live[:, None] & mex_s[:, None] & (jj >= mlo_s[:, None] + K0) \
             & (jj <= mhi_s[:, None] + K0)
-        Ms = extend_rows(Ms, act)
-        Mh = lax.dynamic_update_slice(Mh, Ms[:, None, :], (0, s, 0))
+        Ms = extend_rows(Ms0, act)
+        tr = lax.rem(s, jnp.asarray(RS, i32))
+        Mh = lax.dynamic_update_slice(Mh, Ms[:, None, :], (0, tr, 0))
+        # extension run length -> nm of the backtrace's M-cell visit
+        # (nm = off - mx, affine_wavefront_backtrace.c:330-340: the
+        # post-extend offset minus the winning candidate = the run)
+        ext = lax.dynamic_update_slice(
+            ext, (Ms - Ms0).astype(jnp.int16)[:, None, :], (0, s, 0))
 
         # ---- end condition (affine_wavefront_utils.c:85-103) ----
         at_ak = jnp.take_along_axis(Ms, jak[:, None], axis=1)[:, 0]
@@ -145,6 +157,7 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
             & (at_ak >= tlen)
         newly = live & reach
         fscore = jnp.where(newly, s, fscore)
+        foff = jnp.where(newly, at_ak, foff)
         done = done | newly
         live = ~done
 
@@ -170,7 +183,10 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
         Dext = fetch_row(Dh, sn - e)
 
         def condfetch(row, ex, lo_, hi_, shift):
-            """COND_FETCH of row[k+shift] (align_benchmark macro :117)."""
+            """COND_FETCH of row[k+shift] (align_benchmark macro :117);
+            also returns the in-bounds mask for backtrace-exact +1
+            candidates (hist semantics: NULL when out of bounds, but
+            stored-NULL + 1 when in bounds)."""
             if shift == -1:
                 sh = jnp.concatenate(
                     [jnp.full((B, 1), NULL, i32), row[:, :-1]], axis=1)
@@ -181,15 +197,15 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
                 sh = row
             inb = ex[:, None] & (kk + shift >= lo_[:, None]) \
                 & (kk + shift <= hi_[:, None])
-            return jnp.where(inb, sh, NULL)
+            return jnp.where(inb, sh, NULL), inb, sh
 
-        ins_g = condfetch(Mgap, gap_ex, gap_lo, gap_hi, -1)
-        ins_i = condfetch(Iext, ie_ex, ie_lo, ie_hi, -1)
+        ins_g, inb_ig, raw_ig = condfetch(Mgap, gap_ex, gap_lo, gap_hi, -1)
+        ins_i, inb_ii, raw_ii = condfetch(Iext, ie_ex, ie_lo, ie_hi, -1)
         ins = jnp.maximum(ins_g, ins_i) + 1
-        del_g = condfetch(Mgap, gap_ex, gap_lo, gap_hi, 1)
-        del_d = condfetch(Dext, de_ex, de_lo, de_hi, 1)
+        del_g, inb_dg, raw_dg = condfetch(Mgap, gap_ex, gap_lo, gap_hi, 1)
+        del_d, inb_dd, raw_dd = condfetch(Dext, de_ex, de_lo, de_hi, 1)
         dl = jnp.maximum(del_g, del_d)
-        sub = condfetch(Msub, sub_ex, sub_lo, sub_hi, 0)
+        sub, inb_s, raw_s = condfetch(Msub, sub_ex, sub_lo, sub_hi, 0)
         sub = jnp.where(sub == NULL, NULL, sub + 1)
         mnew = jnp.maximum(sub,
                            jnp.maximum(
@@ -201,14 +217,36 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
         Msn = jnp.where(wm, mnew, NULL)
         Isn = jnp.where(krange & i_alloc[:, None], ins, NULL)
         Dsn = jnp.where(krange & d_alloc[:, None], dl, NULL)
-        Mh = lax.dynamic_update_slice(Mh, Msn[:, None, :], (0, sn, 0))
-        Ih = lax.dynamic_update_slice(Ih, Isn[:, None, :], (0, sn, 0))
-        Dh = lax.dynamic_update_slice(Dh, Dsn[:, None, :], (0, sn, 0))
+        trn = lax.rem(sn, jnp.asarray(RS, i32))
+        Mh = lax.dynamic_update_slice(Mh, Msn[:, None, :], (0, trn, 0))
+        Ih = lax.dynamic_update_slice(Ih, Isn[:, None, :], (0, trn, 0))
+        Dh = lax.dynamic_update_slice(Dh, Dsn[:, None, :], (0, trn, 0))
+
+        # ---- backtrace op codes, with the backtrace's OWN candidate
+        # values (hist_at applies +1 BEFORE the bounds mask, so an
+        # in-bounds stored NULL reads as -9 there while the forward's
+        # masked fetch gives -10; at any visited cell the winner is
+        # >= 0, so the corner never flips a choice, but we replicate it
+        # exactly anyway, affine_wavefront_backtrace.c:320-333) ----
+        de_c = del_d
+        do_c = del_g
+        ie_c = jnp.where(inb_ii, raw_ii + 1, NULL)
+        io_c = jnp.where(inb_ig, raw_ig + 1, NULL)
+        mm_c = jnp.where(inb_s, raw_s + 1, NULL)
+        mx = jnp.maximum(mm_c, jnp.maximum(jnp.maximum(de_c, do_c),
+                                           jnp.maximum(ie_c, io_c)))
+        opm = jnp.where(mx == de_c, C_DE,
+              jnp.where(mx == do_c, C_DO,
+              jnp.where(mx == ie_c, C_IE,
+              jnp.where(mx == io_c, C_IO, C_MM))))
+        opi = (jnp.maximum(ie_c, io_c) != ie_c).astype(i32)   # 0=ie, 1=io
+        opd = (jnp.maximum(de_c, do_c) != de_c).astype(i32)   # 0=de, 1=do
+        code = (opm | (opi << 3) | (opd << 4)).astype(jnp.uint8)
+        ops = lax.dynamic_update_slice(ops, code[:, None, :], (0, sn, 0))
 
         def setcol(arr, val, mask):
             col = jnp.where(mask, val, arr[:, sn])
-            return lax.dynamic_update_slice(
-                arr, col[:, None], (0, sn))
+            return lax.dynamic_update_slice(arr, col[:, None], (0, sn))
 
         mlo = setcol(mlo, lo, compute)
         mhi = setcol(mhi, hi, compute)
@@ -221,39 +259,74 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
         dex = setcol(dex, jnp.ones((B,), bool), d_alloc)
 
         return (Mh, Ih, Dh, mlo, mhi, ilo, ihi, dlo, dhi, mex, iex, dex,
-                sn, done, fscore)
+                ops, ext, sn, done, fscore, foff)
 
-    def cond(carry):
-        s, done = carry[12], carry[13]
+    def cond(st):
+        s, done = st[14], st[15]
         return (~jnp.all(done)) & (s < Scap - 1)
 
-    carry = (Mh, Ih, Dh, mlo, mhi, ilo, ihi, dlo, dhi, mex, iex, dex,
-             jnp.asarray(0, i32), jnp.zeros((B,), bool),
-             jnp.zeros((B,), i32))
+    return lax.while_loop(cond, step, state)
+
+
+def _init_state(B, D, Scap, RS):
+    """Fresh device-resident loop state: m[0] = {k=0: 0} at j=K0 —
+    written by the caller (K0 is shape-dependent)."""
+    i32 = jnp.int32
+    Mh = jnp.full((B, RS, D), NULL, i32)
+    Ih = jnp.full((B, RS, D), NULL, i32)
+    Dh = jnp.full((B, RS, D), NULL, i32)
+    lo_init = jnp.full((B, Scap), 1, i32)
+    hi_init = jnp.full((B, Scap), -1, i32)
+    mlo = lo_init.at[:, 0].set(0)
+    mhi = hi_init.at[:, 0].set(0)
+    mex = jnp.zeros((B, Scap), bool).at[:, 0].set(True)
+    zex = jnp.zeros((B, Scap), bool)
+    ops = jnp.zeros((B, Scap, D), jnp.uint8)
+    ext = jnp.zeros((B, Scap, D), jnp.int16)
+    return [Mh, Ih, Dh, mlo, mhi, lo_init, hi_init, lo_init, hi_init,
+            mex, zex, zex, ops, ext, jnp.asarray(0, jnp.int32),
+            jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32)]
+
+
+def _grow_state(state, K0_old, K0, D, Scap):
+    """Pad a finished-at-cap state to (Scap, D) with the diagonal origin
+    moved to K0 — device-side pads, nothing re-computed on resume."""
     (Mh, Ih, Dh, mlo, mhi, ilo, ihi, dlo, dhi, mex, iex, dex,
-     s, done, fscore) = lax.while_loop(cond, step, carry)
+     ops, ext, s, done, fscore, foff) = state
+    dl = K0 - K0_old
+    dr = D - Mh.shape[2] - dl
+    dS = Scap - mlo.shape[1]
 
-    # ---- backtrace (affine_wavefront_backtrace.c:280-387) ----
-    jak = (tlen - plen + K0)
-    flatM = Mh.reshape(B, Scap * D)
-    flatI = Ih.reshape(B, Scap * D)
-    flatD = Dh.reshape(B, Scap * D)
+    def pad_d(a, fill):
+        return jnp.pad(a, ((0, 0), (0, 0), (dl, dr)), constant_values=fill)
 
-    def hist_at(flat, ex, lo, hi, s_, j_, plus1):
-        """offsets[k] at score s_ with lo_base/hi_base check; NULL else."""
-        t = jnp.clip(s_, 0, Scap - 1)
-        inb = (s_ >= 0) & jnp.take_along_axis(ex, t[:, None], 1)[:, 0] \
-            & (j_ - K0 >= jnp.take_along_axis(lo, t[:, None], 1)[:, 0]) \
-            & (j_ - K0 <= jnp.take_along_axis(hi, t[:, None], 1)[:, 0])
-        idx = jnp.clip(t * D + jnp.clip(j_, 0, D - 1), 0, Scap * D - 1)
-        val = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0]
-        val = val + (1 if plus1 else 0)
-        return jnp.where(inb, val, NULL)
+    def pad_sd(a, fill):
+        return jnp.pad(a, ((0, 0), (0, dS), (dl, dr)), constant_values=fill)
 
-    score0 = fscore
-    j0 = jak
-    off0 = jnp.take_along_axis(
-        flatM, (jnp.clip(score0, 0, Scap - 1) * D + j0)[:, None], 1)[:, 0]
+    def pad_s(a, fill):
+        return jnp.pad(a, ((0, 0), (0, dS)), constant_values=fill)
+
+    return [pad_d(Mh, NULL), pad_d(Ih, NULL), pad_d(Dh, NULL),
+            pad_s(mlo, 1), pad_s(mhi, -1), pad_s(ilo, 1), pad_s(ihi, -1),
+            pad_s(dlo, 1), pad_s(dhi, -1),
+            pad_s(mex, False), pad_s(iex, False), pad_s(dex, False),
+            pad_sd(ops, 0), pad_sd(ext, 0), s, done, fscore, foff]
+
+
+@partial(jax.jit, static_argnames=("K0", "D", "Scap", "x", "o", "e"))
+def _wfa_backtrace(ops, ext, fscore, foff, plen, tlen, K0, D, Scap,
+                   x, o, e):
+    """Lock-step backtrace over the compact store
+    (affine_wavefront_backtrace.c:280-387): every op decision was
+    precomputed by the forward pass with the reference's candidate
+    priority, so each step is a 2-gather walk."""
+    B = fscore.shape[0]
+    i32 = jnp.int32
+    oe = o + e
+    jak = jnp.clip(tlen - plen + K0, 0, D - 1)
+    flat_ops = ops.reshape(B, Scap * D)
+    flat_ext = ext.reshape(B, Scap * D)
     MAXSTEP = Scap
 
     def validloc(j_, off_):
@@ -262,8 +335,8 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
         return (v > 0) & (v <= plen) & (h > 0) & (h <= tlen)
 
     gaps = jnp.zeros((B, MAXSTEP), i32)
-    nmats = jnp.zeros((B, MAXSTEP), i32)
-    opsr = jnp.zeros((B, MAXSTEP), i32)
+    nmats = jnp.zeros((B, MAXSTEP), jnp.int16)
+    opsr = jnp.zeros((B, MAXSTEP), jnp.int8)
 
     def bt_step(carry):
         (sc, j_, off, bty, valid, fin, t, gaps, nmats, opsr) = carry
@@ -277,28 +350,27 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
         gap = jnp.where(trans, j_ - jak, 0)     # >0 => 'D' run, <0 => 'I'
         valid = valid | (act & nowv)
 
-        de = jnp.where(bty != BT_I,
-                       hist_at(flatD, dex, dlo, dhi, sc - e, j_ + 1, False), NULL)
-        do = jnp.where(bty != BT_I,
-                       hist_at(flatM, mex, mlo, mhi, sc - oe, j_ + 1, False), NULL)
-        ie = jnp.where(bty != BT_D,
-                       hist_at(flatI, iex, ilo, ihi, sc - e, j_ - 1, True), NULL)
-        io = jnp.where(bty != BT_D,
-                       hist_at(flatM, mex, mlo, mhi, sc - oe, j_ - 1, True), NULL)
-        mm = jnp.where(bty == BT_M,
-                       hist_at(flatM, mex, mlo, mhi, sc - x, j_, True), NULL)
-        mx = jnp.maximum(mm, jnp.maximum(jnp.maximum(de, do),
-                                         jnp.maximum(ie, io)))
+        idx = jnp.clip(sc, 0, Scap - 1) * D + jnp.clip(j_, 0, D - 1)
+        code = jnp.take_along_axis(flat_ops, idx[:, None], 1)[:, 0] \
+            .astype(i32)
+        extv = jnp.take_along_axis(flat_ext, idx[:, None], 1)[:, 0] \
+            .astype(i32)
+        opm = code & 7
+        opi = (code >> 3) & 1
+        opd = (code >> 4) & 1
 
-        ism = act & (bty == BT_M)
-        nm = jnp.where(ism, off - mx, 0)
-        off = jnp.where(ism, mx, off)
+        isM = bty == BT_M
+        isI = bty == BT_I
+        isD = bty == BT_D
+        ism = act & isM
+        nm = jnp.where(ism, extv, 0)
+        off = jnp.where(ism, off - extv, off)
 
-        is_de = act & (mx == de)
-        is_do = act & ~is_de & (mx == do)
-        is_ie = act & ~is_de & ~is_do & (mx == ie)
-        is_io = act & ~is_de & ~is_do & ~is_ie & (mx == io)
-        is_x = act & ~is_de & ~is_do & ~is_ie & ~is_io & (mx == mm)
+        is_de = act & ((isM & (opm == C_DE)) | (isD & (opd == 0)))
+        is_do = act & ((isM & (opm == C_DO)) | (isD & (opd == 1)))
+        is_ie = act & ((isM & (opm == C_IE)) | (isI & (opi == 0)))
+        is_io = act & ((isM & (opm == C_IO)) | (isI & (opi == 1)))
+        is_x = act & isM & (opm == C_MM)
 
         op = jnp.where(is_de | is_do, OP_D,
              jnp.where(is_ie | is_io, OP_I,
@@ -315,16 +387,18 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
               jnp.where(is_do | is_io | is_x, BT_M, bty)))
 
         gaps = lax.dynamic_update_slice(gaps, gap[:, None], (0, t))
-        nmats = lax.dynamic_update_slice(nmats, nm[:, None], (0, t))
-        opsr = lax.dynamic_update_slice(opsr, op[:, None], (0, t))
+        nmats = lax.dynamic_update_slice(
+            nmats, nm.astype(jnp.int16)[:, None], (0, t))
+        opsr = lax.dynamic_update_slice(
+            opsr, op.astype(jnp.int8)[:, None], (0, t))
         return (sc, j_, off, bty, valid, fin, t + 1, gaps, nmats, opsr)
 
     def bt_cond(carry):
         fin, t = carry[5], carry[6]
         return (~jnp.all(fin)) & (t < MAXSTEP)
 
-    valid0 = validloc(j0, off0)
-    carry = (score0, j0, off0, jnp.zeros((B,), i32), valid0,
+    valid0 = validloc(jak, foff)
+    carry = (fscore, jak, foff, jnp.zeros((B,), i32), valid0,
              jnp.zeros((B,), bool), jnp.asarray(0, i32),
              gaps, nmats, opsr)
     (sc_f, j_f, off_f, _, _, _, nsteps, gaps, nmats, opsr) = \
@@ -335,9 +409,7 @@ def _wfa_forward(pattern, text, plen, tlen, K0, D, Scap, x, o, e):
     final_m = jnp.where(sc_f == 0, off_f, 0)
     final_d = jnp.where(sc_f != 0, jnp.maximum(v_f, 0), 0)
     final_i = jnp.where(sc_f != 0, jnp.maximum(h_f, 0), 0)
-
-    return (done, fscore, nsteps, gaps, nmats, opsr,
-            final_m, final_d, final_i)
+    return nsteps, gaps, nmats, opsr, final_m, final_d, final_i
 
 
 _OPCHAR = {OP_D: "D", OP_I: "I", OP_X: "X"}
@@ -381,8 +453,17 @@ def _assemble_cigar(gaps, nmats, ops, fm, fd, fi, nsteps) -> str:
     return "".join(out)
 
 
+def _geometry(Lp: int, Lt: int, scap: int):
+    """Diagonal-origin/width for a score cap: unclamped complete-mode
+    wavefronts spread by one diagonal per score, so only min(L, scap)
+    diagonals each side can ever hold data."""
+    K0 = min(Lp, scap) + 2
+    D = _round_up(K0 + min(Lt, scap) + 3, 128)
+    return K0, D
+
+
 def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
-              max_batch: int = 128, scap0: int = 64, mesh=None) -> List[str]:
+              max_batch: int = 512, scap0: int = 64, mesh=None) -> List[str]:
     """RLE CIGAR per pair in input order (complete-wavefronts mode).
     With a mesh, pairs shard data-parallel along the batch axis; the
     lock-step score loop's global `any(active)` condition becomes an
@@ -396,42 +477,54 @@ def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
         Lp = _round_up(max(len(pairs.patterns[i]), 1), 32)
         Lt = _round_up(max(len(pairs.texts[i]), 1), 32)
         buckets[(Lp, Lt)].append(i)
+    RS = _ring_size(x, o, e)
 
     for (Lp, Lt), idxs in sorted(buckets.items()):
-        pending = idxs
-        scap = scap0
-        while pending:
-            retry: List[int] = []
-            for lo_i in range(0, len(pending), max_batch):
-                chunk = pending[lo_i:lo_i + max_batch]
-                B = pad_batch(_round_up(len(chunk), 8), mesh)
-                pat = np.full((B, Lp), 250, np.int32)
-                txt = np.full((B, Lt), 251, np.int32)
-                plen = np.zeros(B, np.int32)
-                tlen = np.zeros(B, np.int32)
-                for b, i in enumerate(chunk):
-                    p_, t_ = pairs.patterns[i], pairs.texts[i]
-                    pat[b, :len(p_)] = p_
-                    txt[b, :len(t_)] = t_
-                    plen[b], tlen[b] = len(p_), len(t_)
-                K0 = max(Lp, scap + 2)
-                D = _round_up(K0 + max(Lt, scap + 2) + 2, 128)
-                pat, txt, plen, tlen = shard_args(mesh, pat, txt, plen, tlen)
-                res = _wfa_forward(pat, txt, plen, tlen, K0=K0, D=D,
-                                   Scap=scap, x=x, o=o, e=e)
-                (done, fscore, nsteps, gaps, nmats, opsr,
-                 fm, fd, fi) = [np.asarray(r) for r in res]
-                for b, i in enumerate(chunk):
-                    if not done[b]:
-                        retry.append(i)
-                        continue
-                    out[i] = _assemble_cigar(
-                        gaps[b], nmats[b], opsr[b],
-                        fm[b], fd[b], fi[b], int(nsteps))
-            pending = retry
-            scap *= 2
-            if scap > (1 << 16):
-                raise RuntimeError("wfa: score cap exceeded")
+        for lo_i in range(0, len(idxs), max_batch):
+            chunk = idxs[lo_i:lo_i + max_batch]
+            B = pad_batch(_round_up(len(chunk), 8), mesh)
+            pat = np.full((B, Lp), 250, np.int32)
+            txt = np.full((B, Lt), 251, np.int32)
+            plen = np.zeros(B, np.int32)
+            tlen = np.zeros(B, np.int32)
+            for b, i in enumerate(chunk):
+                p_, t_ = pairs.patterns[i], pairs.texts[i]
+                pat[b, :len(p_)] = p_
+                txt[b, :len(t_)] = t_
+                plen[b], tlen[b] = len(p_), len(t_)
+            pat, txt, plen, tlen = shard_args(mesh, pat, txt, plen, tlen)
+
+            scap = scap0
+            K0, D = _geometry(Lp, Lt, scap)
+            state = _init_state(B, D, scap, RS)
+            state[0] = state[0].at[:, 0, K0].set(0)    # m[0] = {k=0: 0}
+            while True:
+                state = list(_wfa_forward(pat, txt, plen, tlen,
+                                          tuple(state), K0=K0, D=D,
+                                          Scap=scap, x=x, o=o, e=e))
+                if bool(jnp.all(state[15])):
+                    break
+                if scap * 2 > (1 << 16):
+                    raise RuntimeError("wfa: score cap exceeded")
+                K0_old, D_old = K0, D
+                scap *= 2
+                K0, D = _geometry(Lp, Lt, scap)
+                # never shrink: the old content must fit after the
+                # diagonal-origin shift (round-up slack can otherwise
+                # absorb the K0 growth)
+                D = max(D, _round_up(D_old + (K0 - K0_old), 128))
+                state = _grow_state(state, K0_old, K0, D, scap)
+
+            ops_s, ext_s, fscore, foff = (state[12], state[13],
+                                          state[16], state[17])
+            res = _wfa_backtrace(ops_s, ext_s, fscore, foff, plen, tlen,
+                                 K0=K0, D=D, Scap=scap, x=x, o=o, e=e)
+            (nsteps, gaps, nmats, opsr, fm, fd, fi) = \
+                [np.asarray(r) for r in res]
+            for b, i in enumerate(chunk):
+                out[i] = _assemble_cigar(
+                    gaps[b], nmats[b], opsr[b],
+                    fm[b], fd[b], fi[b], int(nsteps))
     return out
 
 
