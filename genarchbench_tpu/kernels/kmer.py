@@ -252,6 +252,19 @@ def count_distinct_sharded(reads: ReadSet, k: int, mesh=None,
     lo = np.concatenate([lo, np.zeros(N - len(lo), np.int32)])
     C = _round_up(int(N // S // S * capacity_factor) + 128, 128)
 
+    # multi-host mesh (after mesh.init_distributed): every process holds
+    # the same full code array; hand jit this process's slice and stitch
+    # them into one DCN-spanning global array
+    if len({d.process_index for d in mesh.devices.flat}) > 1:
+        from jax.sharding import NamedSharding
+        pi, pc = jax.process_index(), jax.process_count()
+        per = N // pc
+        sh = NamedSharding(mesh, P("kspace"))
+        hi = jax.make_array_from_process_local_data(
+            sh, hi[pi * per:(pi + 1) * per], (N,))
+        lo = jax.make_array_from_process_local_data(
+            sh, lo[pi * per:(pi + 1) * per], (N,))
+
     @partial(shard_map, mesh=mesh, in_specs=(P("kspace"), P("kspace")),
              out_specs=(P(), P()))
     def shard_count(hi_l, lo_l):
