@@ -89,6 +89,36 @@ def gen_inputs():
             np.random.default_rng(103), n_pairs=16384, ref_len=384,
             query_len=192))
     paths["bsw"] = bsw
+
+    wfa = TMP / "bench_wfa_pairs_v2.txt"
+    if not wfa.exists():
+        wfa.write_text(gen_seqpair_dataset(
+            np.random.default_rng(104), n_pairs=8192, length=96,
+            error_rate=0.10))
+    paths["wfa"] = wfa
+
+    poa = TMP / "bench_poa_v2.txt"
+    if not poa.exists():
+        rng_p = np.random.default_rng(105)
+        out = []
+        for b in range(24):
+            base = "".join("ACGT"[c] for c in rng_p.integers(0, 4, 150))
+            for s in range(8):
+                seq = []
+                for ch in base:
+                    r = rng_p.random()
+                    if r < 0.03:
+                        seq.append("ACGT"[rng_p.integers(0, 4)])
+                    elif r < 0.06:
+                        seq.append(ch + "ACGT"[rng_p.integers(0, 4)])
+                    elif r < 0.09:
+                        pass
+                    else:
+                        seq.append(ch)
+                out.append(f"s{'0' if s == 0 else '1'}_{b}_{s}\n"
+                           + "".join(seq) + "\n")
+        poa.write_text("".join(out))
+    paths["poa"] = poa
     paths["size_tag"] = "v2"
     return paths
 
@@ -154,6 +184,21 @@ def ref_time(kernel: str, paths, nthreads: int) -> float:
                           r.stdout + r.stderr)
         if secs != secs:
             secs = _grep_time(r"runtime.*?([0-9.]+)", r.stdout + r.stderr)
+    elif kernel == "wfa":
+        r = subprocess.run(
+            [str(build_ref("wfa_ref")), "-i", str(paths["wfa"]),
+             "-o", str(TMP / "bench_wfa_ref.out"), "-t", str(nthreads)],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Time.Benchmark:?\s+([0-9.]+)",
+                          r.stdout + r.stderr)
+    elif kernel == "poa":
+        r = subprocess.run(
+            [str(build_ref("poa_ref")), "-s", str(paths["poa"]),
+             "-t", str(nthreads)],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Runtime:?\s+([0-9.]+)", r.stdout + r.stderr)
+        if secs != secs:     # spoa prints a stage breakdown instead
+            secs = _grep_time(r"total.*?([0-9.]+)", r.stderr + r.stdout)
     else:
         raise KeyError(kernel)
     cache[key] = secs
@@ -201,6 +246,25 @@ def measure_child(kernel: str, platform: str):
         bsw_batch(pairs)
         t0 = time.perf_counter()
         bsw_batch(pairs)
+        dt = time.perf_counter() - t0
+    elif kernel == "wfa":
+        from genarchbench_tpu.io.seqpair_io import read_seqpairs
+        from genarchbench_tpu.kernels.wfa import wfa_batch
+        pairs = read_seqpairs(str(paths["wfa"]), swap_longer_first=False)
+        wfa_batch(pairs)
+        t0 = time.perf_counter()
+        wfa_batch(pairs)
+        dt = time.perf_counter() - t0
+    elif kernel == "poa":
+        from genarchbench_tpu.kernels.poa import (ConvexNWEngine,
+                                                  consensus_for_batch,
+                                                  read_batches)
+        batches = read_batches(str(paths["poa"]))
+        engine = ConvexNWEngine()
+        consensus_for_batch(batches[0], engine)      # warm compile
+        t0 = time.perf_counter()
+        for b in batches:
+            consensus_for_batch(b, engine)
         dt = time.perf_counter() - t0
     else:
         raise KeyError(kernel)

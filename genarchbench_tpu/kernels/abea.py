@@ -506,12 +506,39 @@ def write_eventalign(out, contig, ref_start, seq, pairs, events, model,
                   f"{mm:.2f}\t{ms:.2f}\t{std_lv:.2f}\n")
 
 
-def run(argv: Sequence[str]) -> int:
-    """eventalign pipeline: -b bam -g ref.fa -r signals_dir
-    --kmer-model model.txt [-o out.tsv].  Signal files: <qname>.npy raw
-    float arrays (fast5 via h5py also accepted in the signals dir)."""
-    import argparse
+def _load_signal_fn(signals_arg: str):
+    """Resolve `-r`: an f5c-indexed reads file (fast5 via
+    <reads>.index.readdb, the reference's input contract,
+    nanopolish_read_db.c:83-91) or a directory of <qname>.npy arrays."""
     import os
+    from genarchbench_tpu.io.fast5_io import Fast5Index
+
+    if os.path.isdir(signals_arg):
+        def from_dir(qname: str):
+            p = os.path.join(signals_arg, f"{qname}.npy")
+            if not os.path.exists(p):
+                return None
+            return np.load(p).astype(np.float32)
+        return from_dir
+    idx = (Fast5Index(signals_arg)
+           if signals_arg.endswith(".readdb")
+           else Fast5Index.for_reads(signals_arg))
+    return idx.signal
+
+
+def run(argv: Sequence[str]) -> int:
+    """eventalign pipeline: -b bam -g ref.fa -r reads --kmer-model
+    model.txt [-o out.tsv].  `-r` takes the f5c form — a reads file with
+    `<reads>.index.readdb` beside it locating fast5 signal files
+    (abea/README.md:22-28) — or a directory of <qname>.npy arrays.
+
+    Batches are double-buffered like the reference's interleaved
+    load_db/process_db/output_db pipeline (meth_main.c:12-27,517-570):
+    a loader thread reads signals and detects events for batch i+1
+    while batch i's band scan runs on device, and rows are written as
+    each batch completes."""
+    import argparse
+    from concurrent.futures import ThreadPoolExecutor
     from genarchbench_tpu.io.bam_io import read_bam
     p = argparse.ArgumentParser(prog="abea")
     p.add_argument("-b", dest="bam", required=True)
@@ -539,33 +566,48 @@ def run(argv: Sequence[str]) -> int:
         if name:
             contigs[name] = "".join(cur)
 
+    get_signal = _load_signal_fn(args.signals)
     jobs = []
     for idx, r in enumerate(records):
         if r.flag & 0x904 or r.ref_id < 0:
             continue
-        sig_path = os.path.join(args.signals, f"{r.qname}.npy")
-        if not os.path.exists(sig_path):
-            continue
-        raw = np.load(sig_path).astype(np.float32)
         contig = refs[r.ref_id][0]
         span = r.ref_span()
         ref_seq = contigs[contig][r.pos:r.pos + span]
         if len(ref_seq) < KMER:
             continue
-        jobs.append((idx, contig, r.pos, ref_seq, raw))
+        jobs.append((idx, r.qname, contig, r.pos, ref_seq))
 
     from genarchbench_tpu.sharding.mesh import data_mesh
     mesh = data_mesh()
     out = open(args.output, "w") if args.output else sys.stdout
     out.write(EVENTALIGN_HEADER)
+
+    def load_batch(b0: int):
+        """stage 1 (host): signal load + event detection (load_db +
+        event_single's host half)."""
+        chunk, evs = [], []
+        for job in jobs[b0:b0 + args.batch]:
+            raw = get_signal(job[1])
+            if raw is None:
+                continue
+            chunk.append(job)
+            evs.append(get_events(raw))
+        return chunk, evs
+
     roi = ROITimer("abea", "Data processing time: {t:.3f} sec")
-    with roi:
+    with roi, ThreadPoolExecutor(max_workers=1) as pool:
+        nxt = pool.submit(load_batch, 0) if jobs else None
         for b0 in range(0, len(jobs), args.batch):
-            chunk = jobs[b0:b0 + args.batch]
-            evs = [get_events(raw) for (_, _, _, _, raw) in chunk]
-            seqs = [sq for (_, _, _, sq, _) in chunk]
+            chunk, evs = nxt.result()
+            n1 = b0 + args.batch
+            nxt = (pool.submit(load_batch, n1)
+                   if n1 < len(jobs) else None)
+            if not chunk:
+                continue
+            seqs = [sq for (_, _, _, _, sq) in chunk]
             pairs = align_batch(seqs, evs, model, mesh=mesh)
-            for (idx, contig, pos, sq, _), et, pr in zip(chunk, evs,
+            for (idx, _, contig, pos, sq), et, pr in zip(chunk, evs,
                                                          pairs):
                 sh, sc = estimate_scalings(sq, et, model)
                 write_eventalign(out, contig, pos, sq, pr, et, model,

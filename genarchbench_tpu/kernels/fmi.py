@@ -105,11 +105,56 @@ class FMIndex:
         return cls(z["count"], z["cp_count"], z["oh_hi"], z["oh_lo"],
                    int(z["sentinel"]), int(z["seq_len"]))
 
+    @classmethod
+    def load_bwt2bit64(cls, path: str) -> "FMIndex":
+        """Load a prebuilt bwa-mem2 `<prefix>.bwt.2bit.64` index — the
+        dataset's artifact format (written by build_fm_index,
+        x86_64/src/FMI_search.cpp:162-298; read by load_index :384).
+
+        Layout: int64 seq_len (2L+1, sentinel row included); int64
+        count[5] (cumulative, un-shifted — load_index adds +1);
+        CP_OCC[(seq_len>>6)+1] = {int64 cp_count[4]; uint64 one_hot[4]};
+        then the sampled suffix array (int8 ms-bytes + uint32 ls-words,
+        1/8 sampling under SA_COMPRESSION, else full length) and a final
+        int64 sentinel_index.  The SA is skipped: SMEM output is query
+        intervals, never reference positions (fmi.cpp:429-461)."""
+        import os
+        fsize = os.path.getsize(path)
+        with open(path, "rb") as f:
+            seq_len = int(np.fromfile(f, "<i8", 1)[0])
+            assert 0 < seq_len <= 0x7FFFFFFF, (
+                f"reference too large for int32 rows: {seq_len}")
+            count = (np.fromfile(f, "<i8", 5) + 1).astype(np.int32)
+            ncp = (seq_len >> CP_SHIFT) + 1
+            rec = np.dtype([("cnt", "<i8", (4,)), ("oh", "<u8", (4,))])
+            cp = np.fromfile(f, rec, ncp)
+            header = 8 + 40 + ncp * 64
+            n_comp = (seq_len >> 3) + 1
+            if fsize == header + n_comp * 5 + 8:      # SA_COMPRESSION
+                f.seek(n_comp * 5, 1)
+            elif fsize == header + seq_len * 5 + 8:   # full SA
+                f.seek(seq_len * 5, 1)
+            else:
+                raise ValueError(f"unrecognized index size {fsize}")
+            sentinel = int(np.fromfile(f, "<i8", 1)[0])
+        oh = cp["oh"]
+        return cls(count, cp["cnt"].astype(np.int32),
+                   (oh >> np.uint64(32)).astype(np.uint32),
+                   (oh & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                   sentinel, seq_len)
+
 
 def build_index(ref_codes: np.ndarray) -> FMIndex:
     """ref_codes: forward reference 2-bit codes (0..3).  Builds the
     bi-directional index over forward + reverse complement
     (FMI_search::pac2nt + build_index + build_fm_index)."""
+    return build_index_artifacts(ref_codes)[0]
+
+
+def build_index_artifacts(
+        ref_codes: np.ndarray) -> Tuple[FMIndex, np.ndarray]:
+    """build_index plus the sentinel-first suffix array (needed only to
+    serialize the bwa-mem2 on-disk format, save_bwt2bit64)."""
     fwd = ref_codes.astype(np.uint8)
     rc = (3 - fwd)[::-1]
     seq = np.concatenate([fwd, rc])
@@ -149,8 +194,30 @@ def build_index(ref_codes: np.ndarray) -> FMIndex:
     oh_hi = (words >> np.uint64(32)).astype(np.uint32)
     oh_lo = (words & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
-    return FMIndex(count.astype(np.int32), cp_count.astype(np.int32),
-                   oh_hi, oh_lo, sentinel, blen)
+    return (FMIndex(count.astype(np.int32), cp_count.astype(np.int32),
+                    oh_hi, oh_lo, sentinel, blen), sa_full)
+
+
+def save_bwt2bit64(fmi: FMIndex, sa_full: np.ndarray, path: str) -> None:
+    """Serialize in the bwa-mem2 on-disk format (byte-identical to
+    build_fm_index's output, x86_64/src/FMI_search.cpp:162-298) so
+    indexes built here are loadable by the reference binaries and vice
+    versa.  SA_COMPRESSION layout (1/8 sampling, macro.h:64-68)."""
+    with open(path, "wb") as f:
+        np.int64(fmi.seq_len).tofile(f)
+        (fmi.count.astype(np.int64) - 1).tofile(f)      # un-shift the +1
+        rec = np.dtype([("cnt", "<i8", (4,)), ("oh", "<u8", (4,))])
+        cp = np.zeros(len(fmi.cp_count), rec)
+        cp["cnt"] = fmi.cp_count.astype(np.int64)
+        cp["oh"] = ((fmi.oh_hi.astype(np.uint64) << np.uint64(32))
+                    | fmi.oh_lo.astype(np.uint64))
+        cp.tofile(f)
+        sampled = sa_full[::8].astype(np.int64)
+        if len(sampled) < (fmi.seq_len >> 3) + 1:       # trailing slot
+            sampled = np.concatenate([sampled, [0]])
+        ((sampled >> 32) & 0xFF).astype(np.int8).tofile(f)
+        (sampled & 0xFFFFFFFF).astype(np.uint32).tofile(f)
+        np.int64(fmi.sentinel).tofile(f)
 
 
 def build_index_from_fasta(path: str) -> FMIndex:
@@ -669,7 +736,14 @@ def run(argv: Sequence[str]) -> int:
                 reads.append(_ENC[np.frombuffer(
                     "".join(cur).encode(), np.uint8)])
 
-    if ref_file.endswith(".npz"):
+    import os
+    if ref_file.endswith(".bwt.2bit.64"):
+        index = FMIndex.load_bwt2bit64(ref_file)
+    elif os.path.exists(ref_file + ".bwt.2bit.64"):
+        # reference CLI contract: fasta prefix with prebuilt bwa-mem2
+        # artifacts beside it (FMI_search ctor + load_index)
+        index = FMIndex.load_bwt2bit64(ref_file + ".bwt.2bit.64")
+    elif ref_file.endswith(".npz"):
         index = FMIndex.load(ref_file)
     else:
         index = build_index_from_fasta(ref_file)

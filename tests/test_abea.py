@@ -131,3 +131,61 @@ def test_align_batched_multiple(harness, model, tmp_path):
     ours = abea.align_batch(seqs, ets, model)
     for o, r in zip(ours, refs):
         assert kmer_col_diffs(o, r) <= 10
+
+
+def test_fast5_readdb_cli_matches_npy(harness, model, tmp_path):
+    """End-to-end driver: the f5c-style fast5+readdb input path
+    (-r reads.fastq with <reads>.index.readdb beside it) must produce
+    byte-identical eventalign TSV to the .npy signals-dir path."""
+    from genarchbench_tpu.io import bam_io
+    from genarchbench_tpu.io.fast5_io import (Fast5Index, write_fast5,
+                                              write_readdb)
+    from genarchbench_tpu.kernels.abea import run
+
+    rng = np.random.default_rng(11)
+    ref_seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 800))
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(">tig1\n" + ref_seq + "\n")
+
+    dig, off, rng_pa = 8192.0, 10.0, 1467.6
+    unit = rng_pa / dig
+    npy_dir = tmp_path / "npy"
+    npy_dir.mkdir()
+    records, fast5_reads = [], []
+    for i in range(5):
+        pos = int(rng.integers(0, 500))
+        L = int(rng.integers(150, 280))
+        seq = ref_seq[pos:pos + L]
+        sig = synth_signal(rng, model, seq)
+        dac = np.round(sig.astype(np.float64) / unit - off)
+        pa = ((dac.astype(np.float32) + np.float32(off))
+              * np.float32(unit))            # what Fast5Index returns
+        np.save(npy_dir / f"fr{i}.npy", pa)
+        fast5_reads.append((f"fr{i}", pa))
+        records.append(bam_io.BamRecord(
+            f"fr{i}", 0, 0, pos, 60, [(0, L)], seq,
+            np.full(L, 30, np.uint8)))
+    records.sort(key=lambda r: (r.ref_id, r.pos))
+    bam = tmp_path / "reads.bam"
+    bam_io.write_bam(str(bam), [("tig1", len(ref_seq))], records)
+
+    f5 = tmp_path / "sig.fast5"
+    write_fast5(str(f5), fast5_reads, dig, off, rng_pa)
+    reads_fq = tmp_path / "reads.fastq"
+    reads_fq.write_text("")                  # only the index matters
+    write_readdb(str(reads_fq) + ".index.readdb",
+                 [(f"fr{i}", str(f5)) for i in range(5)])
+
+    # fast5 signal must round-trip the calibration exactly
+    idx = Fast5Index.for_reads(str(reads_fq))
+    np.testing.assert_array_equal(idx.signal("fr0"), fast5_reads[0][1])
+
+    mpath = str(REPO / ".refbuild" / "r94_model.txt")
+    out_npy, out_f5 = tmp_path / "npy.tsv", tmp_path / "f5.tsv"
+    assert run(["-b", str(bam), "-g", str(ref_fa), "-r", str(npy_dir),
+                "--kmer-model", mpath, "-o", str(out_npy), "-K", "3"]) == 0
+    assert run(["-b", str(bam), "-g", str(ref_fa), "-r", str(reads_fq),
+                "--kmer-model", mpath, "-o", str(out_f5), "-K", "3"]) == 0
+    npy_text = out_npy.read_text()
+    assert npy_text == out_f5.read_text()
+    assert len(npy_text.splitlines()) > 5    # real rows, not header-only

@@ -119,3 +119,33 @@ def test_index_roundtrip(tmp_path):
     assert idx2.sentinel == idx.sentinel
     assert np.array_equal(idx2.cp_count, idx.cp_count)
     assert np.array_equal(idx2.oh_hi, idx.oh_hi)
+
+
+def test_bwt2bit64_byte_identical(fmi_ref, tmp_path):
+    """Our serializer writes the exact bwa-mem2 on-disk format: byte-
+    compare vs the reference index builder, and load both ways."""
+    from genarchbench_tpu.kernels.fmi import (FMIndex,
+                                              build_index_artifacts,
+                                              save_bwt2bit64, _ENC)
+    _, idx_bin = fmi_ref
+    rng = np.random.default_rng(9)
+    fa, _ = gen_case(tmp_path, rng, ref_len=5000, n_reads=1)
+    r = subprocess.run([str(idx_bin), str(fa), str(fa)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-400:]
+    ref_file = tmp_path / (fa.name + ".bwt.2bit.64")
+
+    seq = "".join(l.strip() for l in open(fa) if not l.startswith(">"))
+    codes = _ENC[np.frombuffer(seq.encode(), np.uint8)]
+    ours, sa_full = build_index_artifacts(codes)
+    our_file = tmp_path / "ours.bwt.2bit.64"
+    save_bwt2bit64(ours, sa_full, str(our_file))
+    assert our_file.read_bytes() == ref_file.read_bytes()
+
+    loaded = FMIndex.load_bwt2bit64(str(ref_file))
+    assert loaded.sentinel == ours.sentinel
+    assert loaded.seq_len == ours.seq_len
+    assert np.array_equal(loaded.count, ours.count)
+    assert np.array_equal(loaded.cp_count, ours.cp_count)
+    assert np.array_equal(loaded.oh_hi, ours.oh_hi)
+    assert np.array_equal(loaded.oh_lo, ours.oh_lo)
