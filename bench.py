@@ -257,14 +257,13 @@ def measure_child(kernel: str, platform: str):
         dt = time.perf_counter() - t0
     elif kernel == "poa":
         from genarchbench_tpu.kernels.poa import (ConvexNWEngine,
-                                                  consensus_for_batch,
+                                                  consensus_for_batches,
                                                   read_batches)
         batches = read_batches(str(paths["poa"]))
         engine = ConvexNWEngine()
-        consensus_for_batch(batches[0], engine)      # warm compile
+        consensus_for_batches(batches, engine)       # warm compile
         t0 = time.perf_counter()
-        for b in batches:
-            consensus_for_batch(b, engine)
+        consensus_for_batches(batches, engine)
         dt = time.perf_counter() - t0
     else:
         raise KeyError(kernel)
@@ -290,7 +289,7 @@ def main() -> None:
     paths = gen_inputs()
     nthreads = os.cpu_count() or 1
     kernels = os.environ.get("BENCH_KERNELS",
-                             "kmer,bpm,fastchain,bsw").split(",")
+                             "kmer,bpm,fastchain,bsw,wfa,poa").split(",")
 
     speedups = {}
     plat_used = {}

@@ -53,10 +53,18 @@ _RUNNER_CODE = (
 def cmd_regress(name: str, cmd_args: List[str], golden: Optional[str],
                 devices: List[int], platform: str,
                 check_rule: Optional[str],
-                scheduler: Optional[str] = "NONE") -> int:
+                scheduler: Optional[str] = "NONE",
+                source: str = "stdout",
+                line_filter=None) -> int:
     """Device-count sweep through the scheduler harness (the reference's
     regression_small.sh x run_wrapper.sh pair: each device count is one
-    generated job, checked against the golden in its stage dir)."""
+    generated job, checked against the golden in its stage dir).
+
+    `source` selects where the kernel's comparable output lands
+    ("stdout", "stderr", or "file:<name>" relative to the stage dir —
+    args may use the {out} placeholder for that dir); `line_filter`
+    pre-filters both sides like the reference's sed/grep after_run
+    steps."""
     from genarchbench_tpu.harness.scheduler import Job, JobRunner
 
     spec = get_kernel(name)
@@ -65,11 +73,29 @@ def cmd_regress(name: str, cmd_args: List[str], golden: Optional[str],
     if golden:
         with open(golden) as f:
             golden_lines = f.read().splitlines()
+        if line_filter:
+            golden_lines = line_filter(golden_lines)
+
+    in_stage = any("{out}" in a for a in cmd_args)
+    cmd_args = [a.replace("{out}", ".") for a in cmd_args]
+
+    def read_source(stage):
+        fname = {"stdout": "stdout.txt", "stderr": "stderr.txt"}.get(
+            source, source.split(":", 1)[-1])
+        path = stage / fname
+        if not path.exists():
+            return None
+        lines = path.read_text().splitlines()
+        return line_filter(lines) if line_filter else lines
 
     def check(stage, res):
         if golden_lines is None:
             return True
-        out_lines = (stage / "stdout.txt").read_text().splitlines()
+        out_lines = read_source(stage)
+        if out_lines is None:
+            print(f"[{name} devices={res.job.devices}] CHECK FAIL "
+                  f"(no output {source})")
+            return False
         v = _apply_rule(rule, out_lines, golden_lines)
         if not v:
             print(f"[{name} devices={res.job.devices}] CHECK FAIL "
@@ -81,7 +107,7 @@ def cmd_regress(name: str, cmd_args: List[str], golden: Optional[str],
                 devices=nd,
                 platform="cpu" if (nd > 1 or platform == "cpu") else "",
                 env={"GENARCH_REPO": os.getcwd()},
-                workdir=os.getcwd(),
+                workdir=None if in_stage else os.getcwd(),
                 after_run=check)
             for nd in devices]
     runner = JobRunner(scheduler=scheduler)
@@ -91,8 +117,10 @@ def cmd_regress(name: str, cmd_args: List[str], golden: Optional[str],
     njobs = len(results)
     outputs = {}
     for nd, r in zip(devices, results):
-        if r.stage_dir and (r.stage_dir / "stdout.txt").exists():
-            outputs[nd] = (r.stage_dir / "stdout.txt").read_text().splitlines()
+        if r.stage_dir:
+            src = read_source(r.stage_dir)
+            if src is not None:
+                outputs[nd] = src
         timing = next(
             (ln for f in ("stderr.txt", "stdout.txt")
              if r.stage_dir and (r.stage_dir / f).exists()
@@ -146,6 +174,25 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("usage: run <kernel> [args...]", file=sys.stderr)
             return 1
         return cmd_run(argv[0], argv[1:])
+    if cmd == "regress" and argv and argv[0] in ("small", "large"):
+        import argparse
+        p = argparse.ArgumentParser(prog="genarch regress {small,large}")
+        p.add_argument("size", choices=["small", "large"])
+        p.add_argument("--kernels", default=None,
+                       help="comma-separated subset (default: all)")
+        p.add_argument("--devices", default="1,2,8")
+        p.add_argument("--platform", default="cpu",
+                       choices=["cpu", "tpu"])
+        p.add_argument("--scheduler", default="NONE",
+                       choices=["auto", "NONE", "SLURM", "PJM"])
+        a = p.parse_args(argv)
+        from genarchbench_tpu.harness.dataset_regress import run_sweep
+        return run_sweep(a.size,
+                         a.kernels.split(",") if a.kernels else None,
+                         [int(x) for x in a.devices.split(",")],
+                         a.platform,
+                         scheduler=None if a.scheduler == "auto"
+                         else a.scheduler)
     if cmd == "regress":
         import argparse
         p = argparse.ArgumentParser(prog="genarch regress")

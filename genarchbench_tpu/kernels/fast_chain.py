@@ -139,7 +139,8 @@ def _fast_chain_device(x_lo, x_hi, qi, span8, n, mdx, mdxy, bw, avg_qspan):
     NEG = jnp.int32(-(1 << 30))
     span = span8.astype(i32)
     st = _device_window_starts(x_hi, x_lo, n, mdx)
-    lane = jnp.arange(CHUNK, dtype=i32)
+    CH = min(CHUNK, N)   # short records: chunk cannot exceed the row
+    lane = jnp.arange(CH, dtype=i32)
     T = min(TILE, N)     # N is pow2, so N % T == 0 always
     tlane = jnp.arange(T, dtype=i32)
 
@@ -172,16 +173,16 @@ def _fast_chain_device(x_lo, x_hi, qi, span8, n, mdx, mdxy, bw, avg_qspan):
         # ---- FAR: finalized predecessors j < t0, chunked descending ----
         def fcond(c):
             cidx = c[0]
-            top = t0 - 1 - cidx * CHUNK
+            top = t0 - 1 - cidx * CH
             return (top >= 0) & (top >= min_st)
 
         def fbody(c):
             cidx, farf, farj = c
-            c0 = t0 - (cidx + 1) * CHUNK
-            js = c0 + lane                               # (CHUNK,)
-            xs = lax.dynamic_slice(x_lo, (0, c0), (B, CHUNK))
-            qs = lax.dynamic_slice(qi, (0, c0), (B, CHUNK))
-            scj = lax.dynamic_slice(scores, (0, c0), (B, CHUNK))
+            c0 = t0 - (cidx + 1) * CH
+            js = c0 + lane                               # (CH,)
+            xs = lax.dynamic_slice(x_lo, (0, c0), (B, CH))
+            qs = lax.dynamic_slice(qi, (0, c0), (B, CH))
+            scj = lax.dynamic_slice(scores, (0, c0), (B, CH))
             sc = pair_scores(ri_t[:, :, None], qi_t[:, :, None],
                              span_t[:, :, None], xs[:, None, :],
                              qs[:, None, :], scj[:, None, :])
@@ -267,14 +268,23 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
             y_pad[b, :r.n] = r.y
         # word/byte VIEWS, not uint64 arithmetic: numpy's u64 >>/& take
         # seconds per 2M-elem batch on this host (no SIMD path), views
-        # are free (little-endian: word 0 = low, byte 4 = bits 32..39)
-        xv = x_pad.view(np.uint32).reshape(B, N, 2)
-        x_lo = np.ascontiguousarray(xv[:, :, 0])
-        x_hi = np.ascontiguousarray(xv[:, :, 1])
-        yv = y_pad.view(np.uint32).reshape(B, N, 2)
-        qi = np.ascontiguousarray(yv[:, :, 0]).view(np.int32)
-        span = np.ascontiguousarray(
-            y_pad.view(np.uint8).reshape(B, N, 8)[:, :, 4])
+        # are free (little-endian: word 0 = low, byte 4 = bits 32..39);
+        # big-endian hosts fall back to the endian-independent shifts
+        if sys.byteorder == "little":
+            xv = x_pad.view(np.uint32).reshape(B, N, 2)
+            x_lo = np.ascontiguousarray(xv[:, :, 0])
+            x_hi = np.ascontiguousarray(xv[:, :, 1])
+            yv = y_pad.view(np.uint32).reshape(B, N, 2)
+            qi = np.ascontiguousarray(yv[:, :, 0]).view(np.int32)
+            span = np.ascontiguousarray(
+                y_pad.view(np.uint8).reshape(B, N, 8)[:, :, 4])
+        else:
+            x_lo = (x_pad & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            x_hi = (x_pad >> np.uint64(32)).astype(np.uint32)
+            qi = (y_pad & np.uint64(0xFFFFFFFF)).astype(np.uint32) \
+                .view(np.int32)
+            span = ((y_pad >> np.uint64(32)) & np.uint64(0xFF)) \
+                .astype(np.uint8)
         n = np.zeros(B, np.int32)
         n[:len(recs)] = [r.n for r in recs]
         mdx = np.zeros(B, np.int32)

@@ -122,8 +122,13 @@ class FMIndex:
         fsize = os.path.getsize(path)
         with open(path, "rb") as f:
             seq_len = int(np.fromfile(f, "<i8", 1)[0])
-            assert 0 < seq_len <= 0x7FFFFFFF, (
-                f"reference too large for int32 rows: {seq_len}")
+            if not 0 < seq_len <= 0x7FFFFFFF:
+                # the in-memory tables hold rows as int32; the format
+                # itself allows up to 2^39-1 (bwa-mem2 macro.h) but
+                # loading such an index would silently wrap the casts
+                raise ValueError(
+                    f"reference too large for int32 occ rows: {seq_len} "
+                    "(only references under 2^31 rows are loadable)")
             count = (np.fromfile(f, "<i8", 5) + 1).astype(np.int32)
             ncp = (seq_len >> CP_SHIFT) + 1
             rec = np.dtype([("cnt", "<i8", (4,)), ("oh", "<u8", (4,))])
@@ -132,11 +137,22 @@ class FMIndex:
             n_comp = (seq_len >> 3) + 1
             if fsize == header + n_comp * 5 + 8:      # SA_COMPRESSION
                 f.seek(n_comp * 5, 1)
-            elif fsize == header + seq_len * 5 + 8:   # full SA
-                f.seek(seq_len * 5, 1)
+                sentinel = int(np.fromfile(f, "<i8", 1)[0])
+            elif fsize == header + seq_len * 5:
+                # full SA (no SA_COMPRESSION): the reference writes no
+                # trailing sentinel int64 (FMI_search.cpp writes it only
+                # under #if SA_COMPRESSION) — derive it: the sentinel
+                # row is the one whose suffix starts at position 0
+                ms = np.fromfile(f, "<i1", seq_len)
+                ls = np.fromfile(f, "<u4", seq_len)
+                zero = np.flatnonzero((ms == 0) & (ls == 0))
+                if len(zero) != 1:
+                    raise ValueError(
+                        f"full-SA index has {len(zero)} zero entries; "
+                        "cannot derive the sentinel row")
+                sentinel = int(zero[0])
             else:
                 raise ValueError(f"unrecognized index size {fsize}")
-            sentinel = int(np.fromfile(f, "<i8", 1)[0])
         oh = cp["oh"]
         return cls(count, cp["cnt"].astype(np.int32),
                    (oh >> np.uint64(32)).astype(np.uint32),

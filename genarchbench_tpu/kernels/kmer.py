@@ -255,9 +255,18 @@ def count_distinct_sharded(reads: ReadSet, k: int, mesh=None,
     # multi-host mesh (after mesh.init_distributed): every process holds
     # the same full code array; hand jit this process's slice and stitch
     # them into one DCN-spanning global array
-    if len({d.process_index for d in mesh.devices.flat}) > 1:
+    mesh_procs = sorted({d.process_index for d in mesh.devices.flat})
+    if len(mesh_procs) > 1:
         from jax.sharding import NamedSharding
-        pi, pc = jax.process_index(), jax.process_count()
+        # rank within the processes actually in THIS mesh (a mesh over
+        # a subset of jax.process_count() would otherwise misalign the
+        # per-process slices)
+        if jax.process_index() not in mesh_procs:
+            raise ValueError(
+                "count_kmers_sharded: calling process owns no devices "
+                "in the mesh")
+        pi = mesh_procs.index(jax.process_index())
+        pc = len(mesh_procs)
         per = N // pc
         sh = NamedSharding(mesh, P("kspace"))
         hi = jax.make_array_from_process_local_data(

@@ -17,9 +17,20 @@ TPU-first design:
     state (H, E, Q) — is evaluated with ONE `lax.associative_scan`
     over 3x4 max-plus affine matrices (log-depth instead of the
     reference's serial column loop).
+  * WINDOWS BATCH: all windows of a run align their s-th sequence in
+    LOCK-STEP — the DP is vmapped over a (G, Rpad, Wpad) window batch,
+    one device call per round instead of one per (window, sequence)
+    (the reference instead data-parallelizes windows across OMP
+    threads, msa_spoa_omp.cpp:289-312).
+  * the DP emits packed per-cell TRACEBACK CODE PLANES (2 uint32/cell:
+    which candidate the reference's if-chain priority picks —
+    first-predecessor diag/up slot, left checks, gap-extension
+    continuation bits, sisd_alignment_engine.cpp:700-912) and a
+    device-side lock-step WALK consumes them, so only the (G, steps, 2)
+    alignment paths ever cross the device->host link (the 5 full DP
+    matrices never leave HBM).
   * graph surgery and consensus stay on the host (tiny, irregular,
-    exact-order sensitive); the DP matrices are downloaded once per
-    aligned sequence for the host traceback.
+    exact-order sensitive).
   * (R, W) shapes are padded to pow2 buckets to bound compilation.
 """
 
@@ -277,15 +288,28 @@ def _round_up_pow2(v: int, lo: int = 16) -> int:
     return p
 
 
-@partial(jax.jit, static_argnames=("R", "W", "P", "m", "n", "g", "e",
-                                   "q", "c"))
-def _convex_rows_device(prof, preds, npred, H0col, F0col, O0col,
-                        H0row, E0row, Q0row, R, W, P, m, n, g, e, q, c):
-    """DP over R ranks x W+1 columns.  prof (R, W+1) int32 match scores
-    per rank row; preds (R, P) predecessor ROW indices (rank+1; 0 =
-    virtual row); npred (R,); *0col (R+1,) column-0 boundary; *0row
-    (W+1,) row-0 boundary.  Returns H, F, O, E, Q (R+1, W+1)."""
+def _convex_dp_codes(prof, preds, npred, H0col, F0col, O0col,
+                     H0row, E0row, Q0row, endmask, Wlen,
+                     R, W, P, m, n, g, e, q, c):
+    """DP over R ranks x W+1 columns for ONE window, emitting packed
+    traceback CODE PLANES instead of returning the matrices.
+
+    prof (R, W+1) int32 match scores per rank row; preds (R, P)
+    predecessor ROW indices (rank+1; 0 = virtual row); npred (R,);
+    *0col (R+1,) column-0 boundary; *0row (W+1,) row-0 boundary;
+    endmask (R,) rank has no out_edges; Wlen actual query length.
+
+    plane1 per cell: bit0 dfound | 1-11 diag pred row | 12 ufound |
+    13 up-extend | 14-24 up pred row | 25 lfound | 26 left-extend |
+    27 left-extension-continues (shifted by one column: the bit at
+    (i, j) answers the reference's loop check after j -> j-1,
+    sisd_alignment_engine.cpp extend-left break condition).
+    plane2: bit0 upx-found | 1-11 upx pred row | 12-22 up-stop pred
+    row — the two lookups of the extend-up loop.  Every decision is
+    evaluated with the if-chain candidate PRIORITY of the reference
+    backtrack (:700-912), against the same stored matrix values."""
     i32 = jnp.int32
+    u32 = jnp.uint32
     W1 = W + 1
     Hm = jnp.full((R + 1, W1), NEG, i32).at[0].set(H0row)
     Fm = jnp.full((R + 1, W1), NEG, i32)
@@ -296,10 +320,32 @@ def _convex_rows_device(prof, preds, npred, H0col, F0col, O0col,
     Fm = Fm.at[:, 0].set(F0col)
     Om = Om.at[:, 0].set(O0col)
 
-    col = jnp.arange(W1)
+    jok = jnp.arange(W1) >= 1
+
+    def shift1(row):
+        return jnp.concatenate([jnp.full((1,), NEG, i32), row[:-1]])
+
+    def b(mask, bit):
+        return jnp.where(mask, u32(1), u32(0)) << bit
+
+    def left_codes(H_row, E_row, Q_row):
+        H_sh, E_sh, Q_sh = shift1(H_row), shift1(E_row), shift1(Q_row)
+        l0 = H_row == E_sh + e
+        l1 = H_row == H_sh + g
+        l2 = H_row == Q_sh + c
+        l3 = H_row == H_sh + q
+        lfound = l0 | l1 | l2 | l3
+        lext = l0 | (~l0 & ~l1 & l2)
+        contl = (E_sh + e == E_row) | (Q_sh + c == Q_row)
+        return (b(lfound & jok, 25) | b(lext & jok, 26)
+                | b(contl & jok, 27))
+
+    plane1 = jnp.zeros((R + 1, W1), u32).at[0].set(
+        left_codes(H0row, E0row, Q0row))
+    plane2 = jnp.zeros((R + 1, W1), u32)
 
     def row_step(r, carry):
-        Hm, Fm, Om, Em, Qm = carry
+        Hm, Fm, Om, Em, Qm, plane1, plane2 = carry
         i = r + 1
         pidx = preds[r]                                       # (P,)
         pmask = jnp.arange(P) < npred[r]
@@ -333,11 +379,11 @@ def _convex_rows_device(prof, preds, npred, H0col, F0col, O0col,
         Ms = Ms.at[0].set(ident)
         cs = cs.at[0].set(c0)
 
-        def compose(a, b):
+        def compose(a, b_):
             # b after a; max-plus matmul Mo[x,y] = max_k Mb[x,k]+Ma[k,y],
             # clamped at NEG so -inf stand-ins cannot underflow int32
             Ma, ca = a
-            Mb, cb = b
+            Mb, cb = b_
             Mo = jnp.max(Mb[..., :, :, None] + Ma[..., None, :, :],
                          axis=-2)
             co = jnp.max(Mb + ca[..., None, :], axis=-1)
@@ -350,16 +396,140 @@ def _convex_rows_device(prof, preds, npred, H0col, F0col, O0col,
         E_row = csc[:, 1]
         Q_row = csc[:, 2]
 
+        # ---- traceback code planes for row i ----
+        preds_r = pidx
+        prow = prof[r]
+        zb = jnp.zeros((W1,), bool)
+        zi = jnp.zeros((W1,), i32)
+        dfound, dpi = zb, zi
+        uf, upi, uext = zb, zi, zb
+        xf, xpi, spi = zb, zi, zi
+        Fl = F_row.at[0].set(Fm[i, 0])        # stored col-0 boundary
+        Ol = O_row.at[0].set(Om[i, 0])
+        for p in range(P - 1, -1, -1):        # ascending priority last
+            ok = pmask[p]
+            hit_d = ok & (H_row == Hp_sh[p] + prow)
+            dfound = dfound | hit_d
+            dpi = jnp.where(hit_d, preds_r[p], dpi)
+            c0_ = H_row == Fp[p] + e
+            c1_ = H_row == Hp[p] + g
+            c2_ = H_row == Op[p] + c
+            c3_ = H_row == Hp[p] + q
+            hit_u = ok & (c0_ | c1_ | c2_ | c3_)
+            uf = uf | hit_u
+            upi = jnp.where(hit_u, preds_r[p], upi)
+            uext = jnp.where(hit_u, c0_ | (~c0_ & ~c1_ & c2_), uext)
+            hit_x = ok & ((Fl == Fp[p] + e) | (Ol == Op[p] + c))
+            xf = xf | hit_x
+            xpi = jnp.where(hit_x, preds_r[p], xpi)
+            hit_s = ok & ((Fl == Hp[p] + g) | (Ol == Hp[p] + q))
+            spi = jnp.where(hit_s, preds_r[p], spi)
+
+        p1 = (b(dfound & jok, 0) | (dpi.astype(u32) << 1)
+              | b(uf, 12) | b(uext & uf, 13) | (upi.astype(u32) << 14)
+              | left_codes(H_row, E_row, Q_row))
+        p2 = (b(xf, 0) | (xpi.astype(u32) << 1)
+              | (spi.astype(u32) << 12))
+        plane1 = plane1.at[i].set(p1)
+        plane2 = plane2.at[i].set(p2)
+
         Hm = Hm.at[i].set(H_row)
         Fm = Fm.at[i, 1:].set(F_row[1:])
         Om = Om.at[i, 1:].set(O_row[1:])
         Em = Em.at[i].set(E_row)
         Qm = Qm.at[i].set(Q_row)
-        return (Hm, Fm, Om, Em, Qm)
+        return (Hm, Fm, Om, Em, Qm, plane1, plane2)
 
-    Hm, Fm, Om, Em, Qm = lax.fori_loop(0, R, row_step,
-                                       (Hm, Fm, Om, Em, Qm))
-    return Hm, Fm, Om, Em, Qm
+    Hm, Fm, Om, Em, Qm, plane1, plane2 = lax.fori_loop(
+        0, R, row_step, (Hm, Fm, Om, Em, Qm, plane1, plane2))
+
+    # NW start: last valid column, first (rank order) max over end rows
+    # (reference: strict max_score < sc keeps the first, :459-463)
+    Hcol = lax.dynamic_slice(Hm, (0, Wlen), (R + 1, 1))[:, 0]
+    scores = jnp.where(endmask, Hcol[1:], NEG - 1)
+    start_i = jnp.argmax(scores).astype(i32) + 1
+    return plane1, plane2, start_i
+
+
+@partial(jax.jit, static_argnames=("R", "W", "P", "m", "n", "g", "e",
+                                   "q", "c", "MAXSTEP"))
+def _poa_align_device(prof, preds, npred, H0col, F0col, O0col,
+                      H0row, E0row, Q0row, endmask, Wlen, active,
+                      R, W, P, m, n, g, e, q, c, MAXSTEP):
+    """Batched (vmapped) DP + lock-step traceback walk over G windows.
+    Returns (outi, outj) int16 (G, MAXSTEP): per step the consumed node
+    ROW (-1: none) and query index (-1: none); -2 marks walk end."""
+    plane1, plane2, start_i = jax.vmap(
+        partial(_convex_dp_codes, R=R, W=W, P=P, m=m, n=n, g=g, e=e,
+                q=q, c=c))(prof, preds, npred, H0col, F0col, O0col,
+                           H0row, E0row, Q0row, endmask, Wlen)
+
+    i32 = jnp.int32
+    G = prof.shape[0]
+    W1 = W + 1
+    p1f = plane1.reshape(G, (R + 1) * W1)
+    p2f = plane2.reshape(G, (R + 1) * W1)
+    outi0 = jnp.full((G, MAXSTEP), -2, jnp.int16)
+    outj0 = jnp.full((G, MAXSTEP), -2, jnp.int16)
+
+    def step(carry):
+        i, jx, mode, fin, t, outi, outj = carry
+        act = ~fin
+        flat = jnp.clip(i, 0, R) * W1 + jnp.clip(jx, 0, W1 - 1)
+        c1 = jnp.take_along_axis(p1f, flat[:, None], 1)[:, 0]
+        c2 = jnp.take_along_axis(p2f, flat[:, None], 1)[:, 0]
+        dfound = (c1 & 1) != 0
+        dpi = ((c1 >> 1) & 0x7FF).astype(i32)
+        uf = ((c1 >> 12) & 1) != 0
+        uext = ((c1 >> 13) & 1) != 0
+        upi = ((c1 >> 14) & 0x7FF).astype(i32)
+        lf = ((c1 >> 25) & 1) != 0
+        lext = ((c1 >> 26) & 1) != 0
+        contl = ((c1 >> 27) & 1) != 0
+        xfound = (c2 & 1) != 0
+        xpi = ((c2 >> 1) & 0x7FF).astype(i32)
+        spi = ((c2 >> 12) & 0x7FF).astype(i32)
+
+        normal = act & (mode == 0)
+        el_step = act & (mode == 1)
+        eu_step = act & (mode == 2)
+        d_take = normal & dfound
+        u_take = normal & ~dfound & uf
+        l_take = normal & ~dfound & ~uf & lf
+        none = normal & ~dfound & ~uf & ~lf
+
+        emit_i = jnp.where(d_take | u_take | eu_step, i, -1)
+        emit_j = jnp.where(d_take | l_take | el_step, jx - 1, -1)
+        emit_i = jnp.where(act, emit_i, -2)
+        emit_j = jnp.where(act, emit_j, -2)
+
+        eu_prev = jnp.where(xfound, xpi, spi)
+        ni = jnp.where(d_take, dpi,
+             jnp.where(u_take, upi,
+             jnp.where(eu_step, eu_prev, i)))
+        nj = jnp.where(d_take | l_take | el_step, jx - 1, jx)
+        nmode = jnp.where(d_take, 0,
+                jnp.where(u_take, jnp.where(uext, 2, 0),
+                jnp.where(l_take, jnp.where(lext, 1, 0),
+                jnp.where(el_step, jnp.where(contl, 1, 0),
+                jnp.where(eu_step,
+                          jnp.where(xfound & (eu_prev != 0), 2, 0),
+                          mode)))))
+        nfin = fin | none | ((ni == 0) & (nj == 0))
+        outi = lax.dynamic_update_slice(
+            outi, emit_i.astype(jnp.int16)[:, None], (0, t))
+        outj = lax.dynamic_update_slice(
+            outj, emit_j.astype(jnp.int16)[:, None], (0, t))
+        return (ni, nj, nmode, nfin, t + 1, outi, outj)
+
+    def cond(carry):
+        fin, t = carry[3], carry[4]
+        return (~jnp.all(fin)) & (t < MAXSTEP)
+
+    carry = (start_i, Wlen, jnp.zeros((G,), i32), ~active,
+             jnp.asarray(0, i32), outi0, outj0)
+    (_, _, _, _, _, outi, outj) = lax.while_loop(cond, step, carry)
+    return outi, outj
 
 
 class ConvexNWEngine:
@@ -370,69 +540,95 @@ class ConvexNWEngine:
         self.m, self.n, self.g, self.e, self.q, self.c = m, n, g, e, q, c
 
     def align(self, seq: str, graph: Graph):
-        if not graph.nodes or not seq:
-            return []
+        return self.align_many([seq], [graph])[0]
+
+    def align_many(self, seqs: List[str], graphs: List[Graph]):
+        """Align seqs[w] to graphs[w] for every window w in ONE device
+        round (batched DP + lock-step walk).  Returns the spoa-exact
+        (node_id, seq_idx) alignment per window."""
         m_, n_, g_, e_, q_, c_ = (self.m, self.n, self.g, self.e,
                                   self.q, self.c)
-        rank = graph.rank_to_node_id
-        R = len(rank)
-        W = len(seq)
-        id_to_rank = {nid: r for r, nid in enumerate(rank)}
+        G = len(seqs)
+        results: List[list] = [[] for _ in range(G)]
+        live = [w for w in range(G)
+                if graphs[w].nodes and seqs[w]]
+        if not live:
+            return results
 
-        Rpad = _round_up_pow2(R)
-        Wpad = _round_up_pow2(W)
+        Rmax = max(len(graphs[w].rank_to_node_id) for w in live)
+        Wmax = max(len(seqs[w]) for w in live)
+        Pmax = max(max((len(graphs[w].nodes[nid].in_edges)
+                        for nid in graphs[w].rank_to_node_id),
+                       default=1) for w in live)
+        Rpad = _round_up_pow2(Rmax)
+        Wpad = _round_up_pow2(Wmax)
+        Ppad = _round_up_pow2(max(Pmax, 1), 1)
+        if Rpad + 1 > 2047:
+            raise ValueError(
+                f"poa: graph with {Rmax} ranks exceeds the 11-bit "
+                "row-index budget of the packed traceback planes")
         W1 = Wpad + 1
+        Gn = len(live)
 
-        # per-rank match profile rows
-        prof = np.full((Rpad, W1), n_, np.int32)
-        seq_arr = np.frombuffer(seq.encode(), np.uint8)
-        for r, nid in enumerate(rank):
-            ch = ord(graph.decoder[graph.nodes[nid].code])
-            prof[r, 1:W + 1] = np.where(seq_arr == ch, m_, n_)
-        prof[:, 0] = 0
+        prof = np.full((Gn, Rpad, W1), n_, np.int32)
+        preds = np.zeros((Gn, Rpad, Ppad), np.int32)
+        npred = np.ones((Gn, Rpad), np.int32)
+        O0 = np.full((Gn, Rpad + 1), NEG, np.int64)
+        F0 = np.full((Gn, Rpad + 1), NEG, np.int64)
+        endmask = np.zeros((Gn, Rpad), bool)
+        Wlen = np.zeros(Gn, np.int32)
+        ranks: List[List[int]] = []
 
-        Pmax = max(1, max((len(graph.nodes[nid].in_edges)
-                           for nid in rank), default=1))
-        Pmax = _round_up_pow2(Pmax, 1)
-        preds = np.zeros((Rpad, Pmax), np.int32)
-        npred = np.ones(Rpad, np.int32)
-        for r, nid in enumerate(rank):
-            es = graph.nodes[nid].in_edges
-            if not es:
-                preds[r, 0] = 0
-                npred[r] = 1
-            else:
-                npred[r] = len(es)
-                for p, e in enumerate(es):
-                    preds[r, p] = id_to_rank[e.begin] + 1
+        for gi, w in enumerate(live):
+            graph, seq = graphs[w], seqs[w]
+            rank = graph.rank_to_node_id
+            ranks.append(rank)
+            R = len(rank)
+            W = len(seq)
+            Wlen[gi] = W
+            id_to_rank = {nid: r for r, nid in enumerate(rank)}
+            seq_arr = np.frombuffer(seq.encode(), np.uint8)
+            node_ch = np.frombuffer(
+                "".join(graph.decoder[graph.nodes[nid].code]
+                        for nid in rank).encode(), np.uint8)
+            prof[gi, :R, 1:W + 1] = np.where(
+                node_ch[:, None] == seq_arr[None, :], m_, n_)
+            prof[gi, :, 0] = 0
+            O0[gi, 0] = 0
+            F0[gi, 0] = 0
+            for r, nid in enumerate(rank):
+                node = graph.nodes[nid]
+                es = node.in_edges
+                endmask[gi, r] = not node.out_edges
+                if not es:
+                    penO, penF = q_ - c_, g_ - e_
+                else:
+                    npred[gi, r] = len(es)
+                    penO = penF = None
+                    for p, ed in enumerate(es):
+                        pi = id_to_rank[ed.begin] + 1
+                        preds[gi, r, p] = pi
+                        penO = O0[gi, pi] if penO is None \
+                            else max(penO, O0[gi, pi])
+                        penF = F0[gi, pi] if penF is None \
+                            else max(penF, F0[gi, pi])
+                O0[gi, r + 1] = penO + c_
+                F0[gi, r + 1] = penF + e_
 
-        # boundaries (initialize(), sisd_alignment_engine.cpp:115-205)
-        O0 = np.full(Rpad + 1, NEG, np.int64)
-        F0 = np.full(Rpad + 1, NEG, np.int64)
-        O0[0] = 0
-        F0[0] = 0
-        for r, nid in enumerate(rank):
-            es = graph.nodes[nid].in_edges
-            if not es:
-                penO, penF = q_ - c_, g_ - e_
-            else:
-                penO = max(O0[id_to_rank[e.begin] + 1] for e in es)
-                penF = max(F0[id_to_rank[e.begin] + 1] for e in es)
-            O0[r + 1] = penO + c_
-            F0[r + 1] = penF + e_
         H0col = np.maximum(O0, F0)
-        H0col[0] = 0
-        E0row = np.full(W1, NEG, np.int64)
-        Q0row = np.full(W1, NEG, np.int64)
-        E0row[1:] = g_ + np.arange(W1 - 1) * e_
-        Q0row[1:] = q_ + np.arange(W1 - 1) * c_
-        E0row[0] = 0
-        Q0row[0] = 0
+        H0col[:, 0] = 0
+        E0row = np.full((Gn, W1), NEG, np.int64)
+        Q0row = np.full((Gn, W1), NEG, np.int64)
+        E0row[:, 1:] = g_ + np.arange(W1 - 1) * e_
+        Q0row[:, 1:] = q_ + np.arange(W1 - 1) * c_
+        E0row[:, 0] = 0
+        Q0row[:, 0] = 0
         H0row = np.maximum(E0row, Q0row)
-        H0row[0] = 0
+        H0row[:, 0] = 0
         # padded columns beyond W keep extending (harmless, never read)
 
-        out = _convex_rows_device(
+        MAXSTEP = Rpad + W1 + 4
+        outi, outj = _poa_align_device(
             jnp.asarray(prof), jnp.asarray(preds), jnp.asarray(npred),
             jnp.asarray(H0col.astype(np.int32)),
             jnp.asarray(F0.astype(np.int32)),
@@ -440,117 +636,25 @@ class ConvexNWEngine:
             jnp.asarray(H0row.astype(np.int32)),
             jnp.asarray(E0row.astype(np.int32)),
             jnp.asarray(Q0row.astype(np.int32)),
-            R=Rpad, W=Wpad, P=Pmax,
-            m=m_, n=n_, g=g_, e=e_, q=q_, c=c_)
-        H, F, O, E, Q = (np.asarray(x) for x in out)
+            jnp.asarray(endmask), jnp.asarray(Wlen),
+            jnp.ones(Gn, bool),
+            R=Rpad, W=Wpad, P=Ppad, m=m_, n=n_, g=g_, e=e_, q=q_,
+            c=c_, MAXSTEP=MAXSTEP)
+        outi = np.asarray(outi)
+        outj = np.asarray(outj)
 
-        return self._traceback(seq, graph, rank, id_to_rank,
-                               H, F, O, E, Q, R, W)
-
-    def _traceback(self, seq, graph, rank, id_to_rank, H, F, O, E, Q,
-                   R, W):
-        """sisd_alignment_engine.cpp convex backtrack (:700-912)."""
-        m_, n_, g_, e_, q_, c_ = (self.m, self.n, self.g, self.e,
-                                  self.q, self.c)
-        # NW max: last column, rows whose node has no out_edges
-        max_score = None
-        max_i = max_j = -1
-        for r, nid in enumerate(rank):
-            if not graph.nodes[nid].out_edges:
-                sc = H[r + 1, W]
-                if max_score is None or max_score < sc:
-                    max_score = sc
-                    max_i, max_j = r + 1, W
-
-        i, j = max_i, max_j
-        alignment: List[Tuple[int, int]] = []
-        prev_i = prev_j = 0
-        while not (i == 0 and j == 0):
-            H_ij = H[i, j]
-            found = False
-            extend_left = extend_up = False
-            if i != 0 and j != 0:
-                node = graph.nodes[rank[i - 1]]
-                mc = (m_ if self.match(graph, node, seq[j - 1]) else n_)
-                plist = ([0] if not node.in_edges else
-                         [id_to_rank[e.begin] + 1 for e in node.in_edges])
-                for pi in plist:
-                    if H_ij == H[pi, j - 1] + mc:
-                        prev_i, prev_j, found = pi, j - 1, True
-                        break
-            if not found and i != 0:
-                node = graph.nodes[rank[i - 1]]
-                plist = ([0] if not node.in_edges else
-                         [id_to_rank[e.begin] + 1 for e in node.in_edges])
-                for pi in plist:
-                    if H_ij == F[pi, j] + e_:
-                        extend_up = True
-                        prev_i, prev_j, found = pi, j, True
-                        break
-                    if H_ij == H[pi, j] + g_:
-                        prev_i, prev_j, found = pi, j, True
-                        break
-                    if H_ij == O[pi, j] + c_:
-                        extend_up = True
-                        prev_i, prev_j, found = pi, j, True
-                        break
-                    if H_ij == H[pi, j] + q_:
-                        prev_i, prev_j, found = pi, j, True
-                        break
-            if not found and j != 0:
-                if H_ij == E[i, j - 1] + e_:
-                    extend_left = True
-                    prev_i, prev_j, found = i, j - 1, True
-                elif H_ij == H[i, j - 1] + g_:
-                    prev_i, prev_j, found = i, j - 1, True
-                elif H_ij == Q[i, j - 1] + c_:
-                    extend_left = True
-                    prev_i, prev_j, found = i, j - 1, True
-                elif H_ij == H[i, j - 1] + q_:
-                    prev_i, prev_j, found = i, j - 1, True
-
-            alignment.append((
-                -1 if i == prev_i else rank[i - 1],
-                -1 if j == prev_j else j - 1))
-            i, j = prev_i, prev_j
-
-            if extend_left:
-                while True:
-                    alignment.append((-1, j - 1))
-                    j -= 1
-                    if (E[i, j] + e_ != E[i, j + 1]
-                            and Q[i, j] + c_ != Q[i, j + 1]):
-                        break
-            elif extend_up:
-                while True:
-                    stop = True
-                    prev_i = 0
-                    node = graph.nodes[rank[i - 1]]
-                    for ed in node.in_edges:
-                        pi = id_to_rank[ed.begin] + 1
-                        if (F[i, j] == F[pi, j] + e_
-                                or O[i, j] == O[pi, j] + c_):
-                            prev_i = pi
-                            stop = False
-                            break
-                    if stop:
-                        for ed in node.in_edges:
-                            pi = id_to_rank[ed.begin] + 1
-                            if (F[i, j] == H[pi, j] + g_
-                                    or O[i, j] == H[pi, j] + q_):
-                                prev_i = pi
-                                break
-                    alignment.append((rank[i - 1], -1))
-                    i = prev_i
-                    if stop or i == 0:
-                        break
-
-        alignment.reverse()
-        return alignment
-
-    @staticmethod
-    def match(graph, node, ch):
-        return graph.decoder[node.code] == ch
+        for gi, w in enumerate(live):
+            rank = ranks[gi]
+            ei = outi[gi]
+            ej = outj[gi]
+            nstep = int(np.argmax(ei == -2)) if (ei == -2).any() \
+                else MAXSTEP
+            path = [(rank[int(a) - 1] if a > 0 else -1,
+                     int(b) if b >= 0 else -1)
+                    for a, b in zip(ei[:nstep], ej[:nstep])]
+            path.reverse()
+            results[w] = path
+        return results
 
 
 # ---------------------------------------------------------------------------
@@ -585,12 +689,24 @@ def read_batches(path: str) -> List[List[str]]:
     return batches
 
 
+def consensus_for_batches(batches: List[List[str]],
+                          engine: ConvexNWEngine) -> List[str]:
+    """Consensus per window, aligning all windows' s-th sequences in
+    lock-step device rounds (the add_alignment order within each window
+    is exactly the reference's sequential order)."""
+    graphs = [Graph() for _ in batches]
+    rounds = max((len(b) for b in batches), default=0)
+    for s in range(rounds):
+        idx = [w for w, seqs in enumerate(batches) if s < len(seqs)]
+        aligns = engine.align_many([batches[w][s] for w in idx],
+                                   [graphs[w] for w in idx])
+        for k, w in enumerate(idx):
+            graphs[w].add_alignment(aligns[k], batches[w][s])
+    return [g.generate_consensus() for g in graphs]
+
+
 def consensus_for_batch(seqs: List[str], engine: ConvexNWEngine) -> str:
-    graph = Graph()
-    for s in seqs:
-        aln = engine.align(s, graph)
-        graph.add_alignment(aln, s)
-    return graph.generate_consensus()
+    return consensus_for_batches([seqs], engine)[0]
 
 
 def run(argv: Sequence[str]) -> int:
@@ -623,10 +739,8 @@ def run(argv: Sequence[str]) -> int:
     roi = ROITimer(
         "poa", "Runtime: {t:.2f}, GraphCreate: 0.00, Align: 0.00, "
         "AddSeqGraph: 0.00, Consensus 0.00 {t:.2f} 0.000 ")
-    results = []
     with roi:
-        for seqs in batches:
-            results.append(consensus_for_batch(seqs, engine))
+        results = consensus_for_batches(batches, engine)
     for cons in results:
         print(">Consensus_sequence")
         print(cons)

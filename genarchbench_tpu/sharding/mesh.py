@@ -65,8 +65,14 @@ def init_distributed() -> int:
         kwargs["coordinator_address"] = coord
         kwargs["num_processes"] = n
         pid = os.environ.get("GENARCH_PROCESS_ID")
-        if pid is not None:
-            kwargs["process_id"] = int(pid)
+        if pid is None:
+            # JAX requires an explicit process_id whenever the
+            # coordinator address is explicit (autodetection only
+            # covers cluster environments it knows about)
+            raise RuntimeError(
+                "GENARCH_COORDINATOR is set but GENARCH_PROCESS_ID is "
+                "not; export this process's rank (0..GENARCH_HOSTS-1)")
+        kwargs["process_id"] = int(pid)
     jax.distributed.initialize(**kwargs)
     _distributed_initialized = True
     return n

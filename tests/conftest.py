@@ -30,6 +30,31 @@ REF = pathlib.Path("/root/reference/benchmarks")
 
 sys.path.insert(0, str(REPO))
 
+_ORACLE_SENTINELS = ("abea_harness", "r94_model.txt", "fmi_ref", "poa_ref",
+                     "kmer_mini_ref", "pileup_ref", "dbg_ref")
+
+
+def pytest_configure(config):
+    """Auto-build the reference oracles on a fresh checkout so the
+    parity tests RUN instead of silently skipping; fail loudly if the
+    build breaks (set GENARCH_NO_ORACLE_BUILD=1 to opt out)."""
+    missing = [s for s in _ORACLE_SENTINELS if not (REFBUILD / s).exists()]
+    if (missing and REF.exists()
+            and not os.environ.get("GENARCH_NO_ORACLE_BUILD")):
+        sys.stderr.write(
+            f"[conftest] building reference oracles ({', '.join(missing)}) "
+            "— a few minutes on first run ...\n")
+        r = subprocess.run(
+            ["bash", str(REPO / "tests" / "oracles" / "build_oracles.sh")],
+            capture_output=True, text=True, timeout=1800)
+        if r.returncode != 0:
+            raise pytest.UsageError(
+                "reference oracle build FAILED — parity tests would "
+                "silently skip.  Fix the build or set "
+                "GENARCH_NO_ORACLE_BUILD=1 to accept the skips.\n"
+                + r.stderr[-2000:])
+
+
 _BUILD_CMDS = {
     "chain_ref": "g++ -O2 -fopenmp -I {ref}/chain/src -o {out} {ref}/chain/src/main.cpp {ref}/chain/src/host_data_io.cpp {ref}/chain/src/host_kernel.cpp",
     "fastchain_ref": "g++ -O2 -fopenmp -I {ref}/fast-chain/src -o {out} {ref}/fast-chain/src/main.cpp {ref}/fast-chain/src/host_data_io.cpp {ref}/fast-chain/src/host_kernel.cpp",
