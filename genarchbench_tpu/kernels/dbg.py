@@ -87,29 +87,48 @@ def build_window_graph(ref: str, ref_start: int,
                        masks: List[np.ndarray]) -> str:
     """Returns the concatenated node-suffix string for one window.
     reads: (seq, qual, qcfail)."""
-    nodes: Dict[str, str] = {}       # kmer -> suffix at first insertion
-    order: List[str] = []
+    # vectorized first-insertion dedupe: list every (buffer, position)
+    # candidate in the reference's exact insertion order (i, i+1 pairs;
+    # debruijn.cpp createDeBruijnGraph), take the kmer byte windows in
+    # one stride-tricks gather, and keep the first occurrence of each
+    # kmer via np.unique(return_index) — the node value is the suffix
+    # from that first insertion
+    bufs: List[str] = []
+    cand_buf: List[np.ndarray] = []
+    cand_pos: List[np.ndarray] = []
 
-    def insert(buf: str, i: int):
-        kmer = buf[i:i + KMER]
-        if kmer not in nodes:
-            nodes[kmer] = buf[i:]
-            order.append(kmer)
+    def add_candidates(buf: str, idx: np.ndarray):
+        if not len(idx):
+            return
+        bi = len(bufs)
+        bufs.append(buf)
+        pos = np.empty(2 * len(idx), np.int64)
+        pos[0::2] = idx
+        pos[1::2] = idx + 1
+        cand_buf.append(np.full(len(pos), bi, np.int32))
+        cand_pos.append(pos)
 
-    n = len(ref)
-    for i in range(max(0, n - KMER - 1)):
-        insert(ref, i)
-        insert(ref, i + 1)
-
+    add_candidates(ref, np.arange(max(0, len(ref) - KMER - 1)))
     for (seq, qual, qcfail), ok in zip(reads, masks):
         if qcfail:
             continue
-        ln = len(seq)
-        for i in range(max(0, ln - KMER - 1)):
-            if ok[i]:
-                insert(seq, i)
-                insert(seq, i + 1)
-    return "".join(nodes[k] for k in order)
+        m = len(seq) - KMER - 1
+        if m > 0:
+            add_candidates(seq, np.flatnonzero(ok[:m]))
+
+    if not cand_pos:
+        return ""
+    cb = np.concatenate(cand_buf)
+    cp = np.concatenate(cand_pos)
+    lens = np.array([len(b) for b in bufs], np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    blob = np.frombuffer("".join(bufs).encode("latin-1"), np.uint8)
+    sw = np.lib.stride_tricks.sliding_window_view(blob, KMER)
+    km = np.ascontiguousarray(sw[offs[cb] + cp])
+    kv = km.view(f"V{KMER}")[:, 0]
+    _, first = np.unique(kv, return_index=True)
+    first.sort()
+    return "".join(bufs[cb[t]][cp[t]:] for t in first.tolist())
 
 
 def run(argv: Sequence[str]) -> int:

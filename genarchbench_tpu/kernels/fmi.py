@@ -616,7 +616,8 @@ class FMISearch:
             self.mesh, padi(qoff), padi(qlen), padi(min_intv, 1))
         x = np.concatenate([x0, np.zeros(pad, np.int32)]).astype(np.int32)
         act = np.concatenate([np.ones(B, bool), np.zeros(pad, bool)])
-        out: List[Tuple[int, int, int, int]] = []
+        rid_p = np.concatenate([rid, np.zeros(pad, rid.dtype)])
+        cols = []
         while act.any():
             x_j, act_j = shard_args(self.mesh, x, act)
             em, en, es, ec, nx = _onepos_device(
@@ -626,16 +627,20 @@ class FMISearch:
                 emit_cap=Lmax + 2)
             em, en, es, ec, nx = (np.asarray(v)
                                   for v in (em, en, es, ec, nx))
-            for b in range(B):
-                if act[b]:
-                    for t in range(ec[b]):
-                        out.append((int(rid[b]), int(em[b, t]),
-                                    int(en[b, t]), int(es[b, t])))
+            # vectorized emit extraction (was a per-(read, slot) loop)
+            mask = ((np.arange(em.shape[1])[None, :] < ec[:, None])
+                    & act[:, None])
+            bb, tt = np.nonzero(mask)
+            cols.append((rid_p[bb], em[bb, tt], en[bb, tt], es[bb, tt]))
             if not all_pos:
                 break
             x = nx.astype(np.int32)
             act = act & (x < np.asarray(qlen_j))
-        return out
+        if not cols:
+            z = np.zeros(0, np.int32)
+            return z, z, z, z
+        return tuple(np.concatenate([c[k] for c in cols])
+                     for k in range(4))
 
     def bwt_seed_batch(self, qdb, qoff, qlen, rid, max_intv: int,
                        min_seed: int, Lmax: int):
@@ -655,12 +660,11 @@ class FMISearch:
             qoff_j, qlen_j, mi_j,
             min_seed=min_seed, emit_cap=Lmax + 2)
         em, en, es, ec = (np.asarray(v) for v in (em, en, es, ec))
-        out = []
-        for b in range(B):
-            for t in range(ec[b]):
-                out.append((int(rid[b]), int(em[b, t]), int(en[b, t]),
-                            int(es[b, t])))
-        return out
+        rid_p = np.concatenate([rid, np.zeros(pad, rid.dtype)])
+        mask = ((np.arange(em.shape[1])[None, :] < ec[:, None])
+                & (np.arange(Bp) < B)[:, None])
+        bb, tt = np.nonzero(mask)
+        return rid_p[bb], em[bb, tt], en[bb, tt], es[bb, tt]
 
 
 def search_reads(fmi: FMISearch, reads: List[np.ndarray],
@@ -686,29 +690,26 @@ def search_reads(fmi: FMISearch, reads: List[np.ndarray],
                              np.ones(bc, np.int32),
                              np.zeros(bc, np.int32),
                              min_seed, Lmax, all_pos=True)
-        # filter + reseed (fmi.cpp:301-324)
-        re_rid, re_x, re_mi = [], [], []
-        for (r_, m_, n_, s_) in s1:
-            start, end = m_, n_ + 1
-            if end - start < split_len or s_ > SPLIT_WIDTH:
-                continue
-            re_rid.append(r_)
-            re_x.append((end + start) >> 1)
-            re_mi.append(s_ + 1)
-        s2 = []
-        if re_rid:
-            rr = np.array(re_rid, np.int32)
+        # filter + reseed (fmi.cpp:301-324), vectorized
+        r1, m1, n1, sp1 = s1
+        keep = ((n1 + 1 - m1) >= split_len) & (sp1 <= SPLIT_WIDTH)
+        rr = r1[keep].astype(np.int32)
+        s2 = (np.zeros(0, np.int32),) * 4
+        if len(rr):
             s2 = fmi.smems_batch(qdb, qoff[rr], qlen[rr], rr,
-                                 np.array(re_mi, np.int32),
-                                 np.array(re_x, np.int32),
+                                 (sp1[keep] + 1).astype(np.int32),
+                                 ((n1 + 1 + m1)[keep] >> 1)
+                                 .astype(np.int32),
                                  min_seed, Lmax, all_pos=False)
         # pass 3: LAST
         s3 = fmi.bwt_seed_batch(qdb, qoff, qlen, rid, MAX_MEM_INTV,
                                 min_seed + 1, Lmax)
 
-        allsm = [(r_ + i, m_, n_) for (r_, m_, n_, _s) in s1 + s2 + s3]
-        allsm.sort(key=lambda t: (t[0], t[1], -t[2]))
-        results.append(allsm)
+        r_all = np.concatenate([s1[0], s2[0], s3[0]]) + i
+        m_all = np.concatenate([s1[1], s2[1], s3[1]])
+        n_all = np.concatenate([s1[2], s2[2], s3[2]])
+        order = np.lexsort((-n_all, m_all, r_all))   # stable
+        results.append((r_all[order], m_all[order], n_all[order]))
     return results
 
 
@@ -774,19 +775,21 @@ def run(argv: Sequence[str]) -> int:
     roi = ROITimer("fmi", "Computing time: {t} s")
     with roi:
         results = search_reads(fmi, reads, batch_size, min_seed)
-    total = sum(len(r) for r in results)
+    total = sum(len(r[0]) for r in results)
     print(f"totalSmems = {total}")
     print("Reading time: 0 s")
     roi.report(file=sys.stdout)
 
     prev_rid = -1
-    for batch in results:
-        for (r_, m_, n_) in batch:
+    parts = []
+    for (r_a, m_a, n_a) in results:
+        for r_, m_, n_ in zip(r_a.tolist(), m_a.tolist(), n_a.tolist()):
             if r_ != prev_rid:
-                for j in range(prev_rid + 1, r_ + 1):
-                    print(f"{j}:")
-            prev_rid = r_
-            print(f"[{m_},{n_ + 1}]")
+                parts.append("".join(f"{j}:\n"
+                                     for j in range(prev_rid + 1, r_ + 1)))
+                prev_rid = r_
+            parts.append(f"[{m_},{n_ + 1}]\n")
+    sys.stdout.write("".join(parts))
     return 0
 
 

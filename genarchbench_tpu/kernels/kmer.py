@@ -328,49 +328,70 @@ def _kmer_hash(x: int) -> int:
     return z ^ (z >> 31)
 
 
-def yield_minimizers(codes: np.ndarray, k: int, window: int):
-    """Exact yieldMinimizers (kmer.h:206-260): sliding-window minimum
-    of hash(canonical kmer) with its monotonic deque, including the
-    equal-hash front-skipping and emit-once-per-position rules.
-    Returns [(position, fwd_code)]."""
+def _splitmix64_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized Kmer::hash (kmer.h:93-100)."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _deque_scan_py(h: np.ndarray, window: int) -> np.ndarray:
+    """Pure-Python fallback for the native minimizer deque scan."""
     from collections import deque
-    n = len(codes) - k          # IterKmers drops the final position
-    if n <= 0:
-        return []
-    # rolling fwd/canonical codes (python ints, 2k bits)
-    mask = (1 << (2 * k)) - 1
-    fwd = 0
-    rc = 0
-    for j in range(k):
-        fwd = (fwd << 2) | int(codes[j])
-        rc |= (3 - int(codes[j])) << (2 * j)
+    q: deque = deque()           # positions
     out = []
-    if window == 1:
-        for i in range(n):
-            out.append((i, fwd))
-            if i + 1 < n:
-                c = int(codes[i + k])
-                fwd = ((fwd << 2) | c) & mask
-        return out
-    q: deque = deque()           # (position, fwd_code, hash)
-    for i in range(n):
-        canon = min(fwd, rc)
-        h = _kmer_hash(canon)
-        while q and q[-1][2] > h:
+    hl = h.tolist()
+    for i in range(len(hl)):
+        while q and hl[q[-1]] > hl[i]:
             q.pop()
-        q.append((i, fwd, h))
-        if q[0][0] <= i - window:
-            while q[0][0] <= i - window:
+        q.append(i)
+        if q[0] <= i - window:
+            while q[0] <= i - window:
                 q.popleft()
-            while len(q) >= 2 and q[0][2] == q[1][2]:
+            while len(q) >= 2 and hl[q[0]] == hl[q[1]]:
                 q.popleft()
-        if not out or out[-1][0] != q[0][0]:
-            out.append((q[0][0], q[0][1]))
-        if i + 1 < n:
-            c = int(codes[i + k])
-            fwd = ((fwd << 2) | c) & mask
-            rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)))
-    return out
+        if not out or out[-1] != q[0]:
+            out.append(q[0])
+    return np.asarray(out, np.int64)
+
+
+def _minimizer_arrays(codes: np.ndarray, k: int, window: int):
+    """(positions, fwd_codes, canonical_codes) of the minimizers of one
+    read — vectorized kmer/hash computation + native C deque scan
+    (exact yieldMinimizers semantics, kmer.h:206-260: strictly-greater
+    back pops keep ties, equal-hash front skipping after expiry, emit
+    once per front position)."""
+    from genarchbench_tpu import native
+
+    n = len(codes) - k          # IterKmers drops the final position
+    z = np.zeros(0, np.uint64)
+    if n <= 0:
+        return np.zeros(0, np.int64), z, z
+    c = codes.astype(np.uint64)
+    sw = np.lib.stride_tricks.sliding_window_view(c, k)[:n]
+    wf = np.uint64(1) << (np.uint64(2)
+                          * np.arange(k - 1, -1, -1, dtype=np.uint64))
+    wr = np.uint64(1) << (np.uint64(2) * np.arange(k, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        fwd = (sw * wf).sum(axis=1, dtype=np.uint64)
+        rc = ((np.uint64(3) - sw) * wr).sum(axis=1, dtype=np.uint64)
+    canon = np.minimum(fwd, rc)
+    if window == 1:
+        return np.arange(n, dtype=np.int64), fwd, canon
+    h = _splitmix64_arr(canon)
+    pos = native.minimizer_scan_native(h, window)
+    if pos is None:
+        pos = _deque_scan_py(h, window)
+    return pos, fwd[pos], canon[pos]
+
+
+def yield_minimizers(codes: np.ndarray, k: int, window: int):
+    """Exact yieldMinimizers (kmer.h:206-260).
+    Returns [(position, fwd_code)]."""
+    pos, fwd, _ = _minimizer_arrays(codes, k, window)
+    return list(zip(pos.tolist(), fwd.tolist()))
 
 
 def build_minimizer_index(reads: ReadSet, k: int, window: int,
@@ -380,16 +401,13 @@ def build_minimizer_index(reads: ReadSet, k: int, window: int,
     repetitive ones above rate * mean-frequency
     (vertex_index.cpp:394-470 + filterFrequentKmers).  Returns
     (counts dict canonical_code -> n, repetitive set)."""
-    counts: dict = {}
+    cats = []
     for s in reads.seqs:
-        for (_pos, fwd) in yield_minimizers(s, k, window):
-            rc = 0
-            t = fwd
-            for _ in range(k):
-                rc = (rc << 2) | (3 - (t & 3))
-                t >>= 2
-            canon = min(fwd, rc)
-            counts[canon] = counts.get(canon, 0) + 1
+        _, _, canon = _minimizer_arrays(s, k, window)
+        cats.append(canon)
+    allc = (np.concatenate(cats) if cats else np.zeros(0, np.uint64))
+    uniqv, cnts = np.unique(allc, return_counts=True)
+    counts: dict = dict(zip(uniqv.tolist(), cnts.tolist()))
     total = sum(c for c in counts.values() if c >= min_coverage)
     uniq = sum(1 for c in counts.values() if c >= min_coverage)
     thresh = repeat_kmer_rate * (total / (uniq + 1))

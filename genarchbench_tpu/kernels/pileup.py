@@ -62,47 +62,50 @@ def _read_events(r: BamRecord):
     for ci, (op, ln) in enumerate(ops):
         if op in (0, 7, 8):                     # M = X
             nxt_op, nxt_len = ops[ci + 1] if ci + 1 < len(ops) else (-1, 0)
-            for i in range(ln):
-                pos_l.append(rp + i)
-                del_l.append(False)
-                skip_l.append(False)
-                qpos_l.append(qp + i)
-                last = i == ln - 1
-                indel_l.append(nxt_len if (last and nxt_op == 1) else 0)
+            ar = np.arange(ln, dtype=np.int64)
+            pos_l.append(rp + ar)
+            del_l.append(np.zeros(ln, bool))
+            skip_l.append(np.zeros(ln, bool))
+            qpos_l.append(qp + ar)
+            ind = np.zeros(ln, np.int64)
+            if nxt_op == 1:                     # htslib indel field:
+                ind[-1] = nxt_len               # +len before an insertion,
+            elif nxt_op == 2:                   # -len before a deletion
+                ind[-1] = -nxt_len
+            indel_l.append(ind)
             rp += ln
             qp += ln
         elif op == 1:                           # I (consumes query only)
             qp += ln
-        elif op == 2:                           # D
-            for i in range(ln):
-                pos_l.append(rp + i)
-                del_l.append(True)
-                skip_l.append(False)
-                qpos_l.append(qp)
-                indel_l.append(0)
-            rp += ln
-        elif op == 3:                           # N
-            for i in range(ln):
-                pos_l.append(rp + i)
-                del_l.append(False)
-                skip_l.append(True)
-                qpos_l.append(qp)
-                indel_l.append(0)
+        elif op in (2, 3):                      # D / N
+            ar = np.arange(ln, dtype=np.int64)
+            pos_l.append(rp + ar)
+            del_l.append(np.full(ln, op == 2))
+            skip_l.append(np.full(ln, op == 3))
+            qpos_l.append(np.full(ln, qp, np.int64))
+            indel_l.append(np.zeros(ln, np.int64))
             rp += ln
         elif op == 4:                           # S
             qp += ln
         # H, P consume nothing
-    return (np.asarray(pos_l, np.int64), np.asarray(del_l, bool),
-            np.asarray(skip_l, bool), np.asarray(qpos_l, np.int64),
-            np.asarray(indel_l, np.int64))
+    if not pos_l:
+        z = np.zeros(0, np.int64)
+        return z, np.zeros(0, bool), np.zeros(0, bool), z, z
+    return (np.concatenate(pos_l), np.concatenate(del_l),
+            np.concatenate(skip_l), np.concatenate(qpos_l),
+            np.concatenate(indel_l))
 
 
 def calculate_pileup(records: List[BamRecord], chrom_id: int,
                      start: int, end: int):
     """Count matrix for one chunk: returns (majors, minors,
     matrix (ncols, FEATLEN*NUM_HOMOP) int64)."""
-    cov: Dict[int, int] = {}                 # pos -> max_ins
-    events: List[Tuple[int, int, int]] = []  # (pos, j, feat_idx)
+    span = end - start
+    covarr = np.full(span, -1, np.int64)     # pos -> max_ins (-1: absent)
+    present = np.zeros(span, bool)
+    ev_p: List[np.ndarray] = []              # event columns, vectorized
+    ev_j: List[np.ndarray] = []
+    ev_f: List[np.ndarray] = []
 
     for r in records:
         if r.ref_id != chrom_id or (r.flag & FILTER_FLAGS) or r.mapq < 1:
@@ -114,30 +117,40 @@ def calculate_pileup(records: List[BamRecord], chrom_id: int,
         qual = r.qual.astype(np.int32)
         rev = r.is_reverse
         sel = (pos >= start) & (pos < end)
-        for p, d, sk, q, ind in zip(pos[sel], is_del[sel], is_skip[sel],
-                                    qpos[sel], indel[sel]):
-            m = cov.get(p, -1)
-            cov[p] = max(m, ind)
-            if sk:
-                continue
-            if d:
-                events.append((p, 0, REV_DEL if rev else FWD_DEL))
-            else:
-                for j in range(int(ind) + 1):
-                    b = int(nt[q + j]) + (16 if rev else 0)
-                    fi = int(NUM2COUNTBASE[b])
-                    if fi >= 0:
-                        qs = min(int(qual[q + j]), NUM_HOMOP)
-                        qs = max(0, qs - 1)
-                        events.append((p, j, FEATLEN * qs + fi))
+        p_s = pos[sel] - start
+        d_s, sk_s, q_s, ind_s = (is_del[sel], is_skip[sel], qpos[sel],
+                                 indel[sel])
+        present[p_s] = True
+        np.maximum.at(covarr, p_s, np.maximum(ind_s, 0))  # ins only
+        dm = d_s & ~sk_s
+        if dm.any():
+            ev_p.append(p_s[dm])
+            ev_j.append(np.zeros(dm.sum(), np.int64))
+            ev_f.append(np.full(dm.sum(),
+                                REV_DEL if rev else FWD_DEL, np.int64))
+        mm = ~d_s & ~sk_s
+        if mm.any():
+            cnt = np.maximum(ind_s[mm], 0) + 1
+            tot = int(cnt.sum())
+            jj = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            pi = np.repeat(p_s[mm], cnt)
+            qi = np.repeat(q_s[mm], cnt) + jj
+            b = nt[qi] + (16 if rev else 0)
+            fi = NUM2COUNTBASE[b]
+            keep = fi >= 0
+            qs = np.clip(np.minimum(qual[qi[keep]], NUM_HOMOP) - 1,
+                         0, None)
+            ev_p.append(pi[keep])
+            ev_j.append(jj[keep])
+            ev_f.append(FEATLEN * qs.astype(np.int64) + fi[keep])
 
-    if not cov:
+    if not present.any():
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                 np.zeros((0, FEATLEN * NUM_HOMOP), np.int64),
                 2 * (end - start))
 
-    positions = np.array(sorted(cov), np.int64)
-    max_ins = np.array([cov[p] for p in positions], np.int64)
+    positions = np.flatnonzero(present).astype(np.int64) + start
+    max_ins = covarr[positions - start]
 
     # replicate the buffer growth bookkeeping (medaka_counts.c:389-396)
     # so the "with buffer of N columns" trailer matches byte-for-byte
@@ -150,21 +163,25 @@ def calculate_pileup(records: List[BamRecord], chrom_id: int,
             buffer_cols = mi + max(2 * buffer_cols,
                                    int(cols_per_pos) * (end - start))
         n_cols += mi
-    col_of = {}
-    majors, minors = [], []
-    for p, mi in zip(positions, max_ins):
-        col_of[p] = len(majors)
-        for j in range(mi + 1):
-            majors.append(p)
-            minors.append(j)
+    cnt = max_ins + 1
+    col_start = np.cumsum(cnt) - cnt
+    majors = np.repeat(positions, cnt)
+    minors = np.arange(len(majors)) - np.repeat(col_start, cnt)
     ncols = len(majors)
+    colof_arr = np.full(span, -1, np.int64)
+    colof_arr[positions - start] = col_start
 
-    ev = np.asarray(events, np.int64).reshape(-1, 3)
-    cols = np.array([col_of[p] for p in ev[:, 0]], np.int32) \
-        + ev[:, 1].astype(np.int32)
-    feats = ev[:, 2].astype(np.int32)
+    if ev_p:
+        pcat = np.concatenate(ev_p)
+        jcat = np.concatenate(ev_j)
+        fcat = np.concatenate(ev_f)
+        cols = (colof_arr[pcat] + jcat).astype(np.int32)
+        feats = fcat.astype(np.int32)
+    else:
+        cols = np.zeros(0, np.int32)
+        feats = np.zeros(0, np.int32)
     mat = _scatter_counts(jnp.asarray(cols), jnp.asarray(feats), ncols)
-    return (np.asarray(majors, np.int64), np.asarray(minors, np.int64),
+    return (majors, minors.astype(np.int64),
             np.asarray(mat, np.int64), buffer_cols)
 
 
@@ -194,11 +211,11 @@ def print_pileup_tsv(majors, minors, mat, out) -> None:
         for b in PLP_BASES:
             head.append(f"{b}.{k + 1}")
     out.write("\t".join(head) + "\tdepth\n")
-    for i in range(len(majors)):
-        row = mat[i]
-        out.write(f"{majors[i]}\t{minors[i]}\t")
-        out.write("\t".join(str(int(c)) for c in row))
-        out.write(f"\t{int(row.sum())}\n")
+    body = np.column_stack([majors, minors, mat, mat.sum(axis=1)])
+    out.write("\n".join("\t".join(map(str, row))
+                        for row in body.tolist()))
+    if len(body):
+        out.write("\n")
 
 
 def run(argv: Sequence[str]) -> int:

@@ -117,6 +117,9 @@ def readers_lib() -> Optional[ctypes.CDLL]:
     lib.fast_chain_scores.argtypes = [
         i64, i64, p64, pd, ctypes.POINTER(ctypes.c_uint32), p32, pu8,
         p32, p32]
+    lib.minimizer_scan.restype = i64
+    lib.minimizer_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), i64, i64, p64]
     _READERS = lib
     return lib
 
@@ -237,6 +240,22 @@ def chain_native(path: str):
                     xs[w:w + n_i].copy(), ys[w:w + n_i].copy()))
         w += n_i
     return out
+
+
+def minimizer_scan_native(hashes, window: int):
+    """Positions emitted by the Flye minimizer deque over `hashes`;
+    None when the native library is unavailable."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(hashes, np.uint64)
+    out = np.empty(len(h), np.int64)
+    m = lib.minimizer_scan(_as_ptr(h, ctypes.c_uint64), len(h),
+                           window, _as_ptr(out, ctypes.c_int64))
+    if m < 0:
+        return None
+    return out[:m]
 
 
 def fast_chain_scores_native(ns, avg, x_lo, qi, span, parents):

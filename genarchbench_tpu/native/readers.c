@@ -427,3 +427,29 @@ void nib_fill_pack(const uint8_t *flat, const int64_t *off,
         for (; i < width; i += 2) o[i >> 1] = dd;
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* Flye minimizer deque scan (kmer.h:206-260 yieldMinimizers)          */
+/* ------------------------------------------------------------------ */
+
+/* Sliding-window minimum over hashes with the reference's exact rules:
+ * strictly-greater back pops (ties stay), equal-hash front skipping
+ * after expiry, emit once per front position.  Returns emit count. */
+int64_t minimizer_scan(const uint64_t *h, int64_t n, int64_t window,
+                       int64_t *out_pos) {
+    if (n <= 0) return 0;
+    int64_t *q = (int64_t *)malloc(sizeof(int64_t) * (size_t)n);
+    if (!q) return -1;
+    int64_t qh = 0, qt = 0, m = 0, last = -1;
+    for (int64_t i = 0; i < n; i++) {
+        while (qt > qh && h[q[qt - 1]] > h[i]) qt--;
+        q[qt++] = i;
+        if (q[qh] <= i - window) {
+            while (q[qh] <= i - window) qh++;
+            while (qt - qh >= 2 && h[q[qh]] == h[q[qh + 1]]) qh++;
+        }
+        if (last != q[qh]) { out_pos[m++] = q[qh]; last = q[qh]; }
+    }
+    free(q);
+    return m;
+}

@@ -296,63 +296,140 @@ def convert_keras_weights_full(weights: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
-# pileup tensor generation (CreateTensorPileup.py equivalent, simplified)
+# pileup tensor generation — exact CreateTensorPileup.py semantics
 # ---------------------------------------------------------------------------
 
 CHANNEL_ORDER = ("A", "C", "G", "T", "I", "I1", "D", "D1", "*",
                  "a", "c", "g", "t", "i", "i1", "d", "d1", "#")
 
+# samtools view filter used by the mpileup stage (shared/param_p.py:39:
+# SAMTOOLS_VIEW_FILTER_FLAG = 2316 = UNMAP|MUNMAP|SECONDARY|SUPPLEMENTARY)
+CLAIR3_FILTER_FLAGS = 4 | 8 | 256 | 2048
+CLAIR3_MIN_MQ = 5        # shared/param_p.py:19
+
 
 def pileup_tensor_from_bam(records, chrom_id: int, center: int,
                            ref_seq: str) -> np.ndarray:
-    """(33, 18) pileup count tensor around `center` (0-based).
+    """(33, 18) pileup count tensor around `center` (0-based), exact
+    generate_tensor channel math (CreateTensorPileup.py:55-135):
+    A/C/G/T by strand case, I/i = insertion events per strand,
+    I1/i1 = count of the most frequent insertion ALLELE per strand,
+    D/d and D1/d1 likewise for deletions, '*'/'#' = deletion bodies
+    (mpileup --reverse-del; read filter = mpileup's --min-MQ 5 +
+    --excl-flags 2316).  N bases count nowhere (BASE2INDEX has no N);
+    insertions do not add to depth."""
+    from collections import Counter
 
-    Simplified CreateTensorPileup: counts of each base by strand
-    (upper = forward, lower = reverse), insertion starts (I/i), first
-    inserted base match (I1/i1), deletion starts (D/d, D1/d1), spanning
-    deletions (*, #)."""
-    from genarchbench_tpu.kernels.pileup import (FILTER_FLAGS,
-                                                 _read_events)
+    from genarchbench_tpu.kernels.pileup import _read_events
     idx = {c: i for i, c in enumerate(CHANNEL_ORDER)}
     t = np.zeros((NO_OF_POSITIONS, CHANNELS), np.int32)
     lo = center - FLANKING
     hi = center + FLANKING + 1
+    # per-column insertion/deletion ALLELE counters, keyed
+    # (is_reverse, allele) — their maxima feed I1/i1/D1/d1
+    ins_cnt = [Counter() for _ in range(NO_OF_POSITIONS)]
+    del_cnt = [Counter() for _ in range(NO_OF_POSITIONS)]
     for r in records:
-        if r.ref_id != chrom_id or (r.flag & FILTER_FLAGS) or r.mapq < 1:
+        if (r.ref_id != chrom_id or (r.flag & CLAIR3_FILTER_FLAGS)
+                or r.mapq < CLAIR3_MIN_MQ):
             continue
         if r.pos >= hi or r.pos + r.ref_span() <= lo:
             continue
         pos, is_del, is_skip, qpos, indel = _read_events(r)
         rev = r.is_reverse
-        for p, d, sk, q, ind in zip(pos, is_del, is_skip, qpos, indel):
-            if p < lo or p >= hi or sk:
+        sel = (pos >= max(lo, 0)) & (pos < hi)
+        for p, d, sk, q, ind in zip(pos[sel].tolist(),
+                                    is_del[sel].tolist(),
+                                    is_skip[sel].tolist(),
+                                    qpos[sel].tolist(),
+                                    indel[sel].tolist()):
+            if sk:
                 continue
             col = p - lo
             if d:
                 t[col, idx["#" if rev else "*"]] += 1
                 continue
-            base = r.seq[q].upper()
-            if base in "ACGT":
-                ch = base.lower() if rev else base
-                t[col, idx[ch]] += 1
+            b = r.seq[q].upper()
+            if b in "ACGT":
+                t[col, idx[b.lower() if rev else b]] += 1
             if ind > 0:
-                t[col, idx["i" if rev else "I"]] += 1
-                nxt = r.seq[q + 1].upper()
-                ref_next = (ref_seq[p + 1].upper()
-                            if p + 1 < len(ref_seq) else "N")
-                if nxt == ref_next:
-                    t[col, idx["i1" if rev else "I1"]] += 1
+                ins_cnt[col][(rev, r.seq[q + 1:q + 1 + ind].upper())] += 1
             elif ind < 0:
-                t[col, idx["d" if rev else "D"]] += 1
-                if -ind == 1:
-                    t[col, idx["d1" if rev else "D1"]] += 1
+                del_cnt[col][(rev, -ind)] += 1
+    for col in range(NO_OF_POSITIONS):
+        for (rev, _allele), count in ins_cnt[col].items():
+            t[col, idx["i" if rev else "I"]] += count
+            ch = idx["i1" if rev else "I1"]
+            t[col, ch] = max(t[col, ch], count)
+        for (rev, _allele), count in del_cnt[col].items():
+            t[col, idx["d" if rev else "D"]] += count
+            ch = idx["d1" if rev else "D1"]
+            t[col, ch] = max(t[col, ch], count)
+        # reference-base channels hold the NEGATED total per strand
+        # (CreateTensorPileup.py:163-164)
+        p = lo + col
+        rb = ref_seq[p].upper() if 0 <= p < len(ref_seq) else "N"
+        if rb in "ACGT":
+            t[col, idx[rb]] = -sum(t[col, idx[c]] for c in "ACGT")
+            t[col, idx[rb.lower()]] = -sum(t[col, idx[c]]
+                                           for c in "acgt")
     return t
 
 
 # ---------------------------------------------------------------------------
-# full-alignment tensor generation (CreateTensorFullAlignment.py
-# equivalent, simplified) + read-backed het phasing (whatshap stage stand-in)
+# SSW read realignment (preprocess/realign: the ctypes realigner's
+# SswAlignReadsToHaplotypes step) + full-alignment tensors + het phasing
 # ---------------------------------------------------------------------------
+
+
+def realign_reads(records, ref_seq: str, lo: int, hi: int,
+                  chrom_id: int):
+    """SSW-realign the reads overlapping [lo, hi) against the reference
+    window, adopting the new (position, cigar) when the alignment score
+    clears the realigner's threshold (realigner.cpp:76-86:
+    match*L*0.16934 - mismatch*L*(1-0.16934); SSW driven as
+    realigner.cpp:132-143 with maskLen = max(L/2, 15)).  The reference
+    window plays the haplotype role (the realigner always includes the
+    reference among its haplotypes); reads below threshold keep their
+    original alignment.  Returns a new record list."""
+    import copy
+
+    from genarchbench_tpu.nn.ssw import SswAligner
+
+    win_lo = max(lo, 0)
+    window = ref_seq[win_lo:hi]
+    if not window:
+        return records
+    aligner = SswAligner(match=4, mismatch=6, gap_open=8, gap_extend=2)
+    targets = [r for r in records
+               if r.ref_id == chrom_id
+               and not (r.flag & CLAIR3_FILTER_FLAGS)
+               and r.pos < hi and r.pos + r.ref_span() > win_lo]
+    if not targets:
+        return records
+    results = aligner.align_batch([r.seq for r in targets],
+                                  [window] * len(targets))
+    out = list(records)
+    pos_of = {id(r): i for i, r in enumerate(records)}
+    for r, a in zip(targets, results):
+        L = len(r.seq)
+        thresh = 4 * L * 0.16934 - 6 * L * (1 - 0.16934)
+        if thresh < 0:
+            thresh = 1
+        if a.score1 < thresh or not a.cigar:
+            continue
+        nr = copy.copy(r)
+        nr.pos = win_lo + a.ref_begin1
+        cig = []
+        if a.read_begin1 > 0:
+            cig.append((4, a.read_begin1))            # soft-clip head
+        cig += [(("MID".index(op)), n) for n, op in a.cigar]
+        tail = L - 1 - a.read_end1
+        if tail > 0:
+            cig.append((4, tail))                     # soft-clip tail
+        nr.cigar = cig
+        out[pos_of[id(r)]] = nr
+    return out
 
 _BASE_CODE = {"A": 25, "C": 50, "G": 75, "T": 100}
 
@@ -580,6 +657,10 @@ def run(argv: Sequence[str]) -> int:
     p.add_argument("--fa-qual", dest="fa_qual", type=float, default=30.0,
                    help="pileup QUAL below which a call is re-examined "
                         "by the full-alignment model")
+    p.add_argument("--realign", action="store_true",
+                   help="SSW-realign reads around re-examined sites "
+                        "before building full-alignment tensors (the "
+                        "realign/ ctypes stage, ilmn platform)")
     args = p.parse_args(argv)
 
     chrom, beg, end = parse_region(args.region)
@@ -651,8 +732,14 @@ def run(argv: Sequence[str]) -> int:
             else:
                 fa_caller = FullAlignmentCaller.init()
             sel_pos = [int(r.split("\t")[1]) - 1 for r in sel]
+            fa_records = records
+            if args.realign and sel_pos:
+                fa_records = realign_reads(
+                    records, ref_seq, min(sel_pos) - 2 * FLANKING,
+                    max(sel_pos) + 2 * FLANKING + 1, cid)
             fa_tensors = np.stack([
-                full_alignment_tensor(records, cid, pos, ref_seq, tags)
+                full_alignment_tensor(fa_records, cid, pos, ref_seq,
+                                      tags)
                 for pos in sel_pos])
             fa_rows = rows_from_probs(
                 fa_caller.predict(fa_tensors), sel_pos,

@@ -51,3 +51,5 @@ HTS=$RB/htslib-1.9
   cd ../..
 }
 echo "oracles ready in $RB/"
+# ssw oracle (Clair3 realigner striped Smith-Waterman)
+[ -f $RB/ssw_ref ] || gcc -O2 -msse4.1 -I $REF/nn-variant/Clair3/preprocess/realign -o $RB/ssw_ref tests/oracles/ssw_harness.c $REF/nn-variant/Clair3/preprocess/realign/ssw.c

@@ -305,3 +305,102 @@ def test_pipeline_full_alignment_end_to_end(tmp_path):
                   "--full-alignment", "--fa-qual", "100"])
     assert rc == 0
     assert out.read_text().startswith("##fileformat=VCF")
+
+
+# ---------------------------------------------------------------------------
+# exact pileup-tensor parity vs the reference's own generate_tensor
+# ---------------------------------------------------------------------------
+
+def _load_clair3_generate_tensor():
+    import importlib
+    import sys as _sys
+    clair3 = "/root/reference/benchmarks/nn-variant/Clair3"
+    if clair3 not in _sys.path:
+        _sys.path.insert(0, clair3)
+    try:
+        mod = importlib.import_module("preprocess.CreateTensorPileup")
+    except Exception as e:                      # missing cffi etc.
+        pytest.skip(f"cannot import Clair3 oracle: {e}")
+    return mod.generate_tensor
+
+
+def _mpileup_string(records, p, ref):
+    """samtools-mpileup-style base string for position p (--reverse-del:
+    '*' forward / '#' reverse deletion bodies; inserted and deleted
+    bases in the strand's case)."""
+    from genarchbench_tpu.kernels.pileup import _read_events
+    from genarchbench_tpu.nn.variant import (CLAIR3_FILTER_FLAGS,
+                                             CLAIR3_MIN_MQ)
+    out = []
+    for r in records:
+        if (r.flag & CLAIR3_FILTER_FLAGS) or r.mapq < CLAIR3_MIN_MQ:
+            continue
+        if not (r.pos <= p < r.pos + r.ref_span()):
+            continue
+        pos, is_del, is_skip, qpos, indel = _read_events(r)
+        at = np.flatnonzero(pos == p)
+        if not len(at):
+            continue
+        i = int(at[0])
+        if is_skip[i]:
+            continue
+        rev = r.is_reverse
+        if p == r.pos:
+            out.append("^~")
+        if is_del[i]:
+            out.append("#" if rev else "*")
+        else:
+            q = int(qpos[i])
+            b = r.seq[q]
+            out.append(b.lower() if rev else b.upper())
+            ind = int(indel[i])
+            if ind > 0:
+                ins = r.seq[q + 1:q + 1 + ind]
+                out.append(f"+{ind}" + (ins.lower() if rev
+                                        else ins.upper()))
+            elif ind < 0:
+                dl = ref[p + 1:p + 1 - ind]
+                out.append(f"{ind}" + (dl.lower() if rev
+                                       else dl.upper()))
+        if p == r.pos + r.ref_span() - 1:
+            out.append("$")
+    return "".join(out)
+
+
+def test_pileup_tensor_matches_clair3_generate_tensor():
+    gen = _load_clair3_generate_tensor()
+    from genarchbench_tpu.io import bam_io
+    rng = np.random.default_rng(11)
+    ref = "".join("ACGT"[c] for c in rng.integers(0, 4, 300))
+    records = []
+    for i in range(40):
+        pos = int(rng.integers(60, 120))
+        ln = int(rng.integers(80, 120))
+        s = list(ref[pos:pos + ln])
+        cig = [(0, ln)]
+        kind = i % 4
+        if kind == 1:                        # SNP at center-ish
+            s[150 - pos] = "A" if ref[150] != "A" else "G"
+        elif kind == 2 and 150 - pos > 5:    # insertion after 150
+            at = 150 - pos
+            cig = [(0, at + 1), (1, 2 + i % 2), (0, ln - at - 1)]
+            s = s[:at + 1] + ["T", "T", "G"][:2 + i % 2] + s[at + 1:]
+        elif kind == 3 and 150 - pos > 5:    # deletion after 150
+            at = 150 - pos
+            dl = 1 + i % 3
+            cig = [(0, at + 1), (2, dl), (0, ln - at - 1 - dl)]
+            s = s[:at + 1] + s[at + 1 + dl:]
+        seq = "".join(s)
+        records.append(bam_io.BamRecord(
+            f"r{i}", 0 if i % 2 else 16, 0, pos, 30 + i % 30, cig,
+            seq, np.full(len(seq), 30, np.uint8)))
+    records.sort(key=lambda r: r.pos)
+
+    from genarchbench_tpu.nn import variant as var_mod
+    t = var_mod.pileup_tensor_from_bam(records, 0, 150, ref)
+    for col in range(var_mod.NO_OF_POSITIONS):
+        p = 150 - var_mod.FLANKING + col
+        s = _mpileup_string(records, p, ref)
+        want, *_ = gen(p, s, ref, 0, ref[p], 0.08, 0.08, 0.15,
+                       "ont", False, False)
+        assert list(t[col]) == list(want), (col, p, s, list(t[col]), want)
