@@ -97,13 +97,53 @@ def gen_inputs():
             error_rate=0.10))
     paths["wfa"] = wfa
 
-    poa = TMP / "bench_poa_v2.txt"
+    # fmi: synthetic reference + reads; the bwa-mem2-format index is
+    # built once by the reference's own index builder
+    fmi_dir = TMP / "bench_fmi"
+    fmi_fa = fmi_dir / "ref.fa"
+    fmi_fq = fmi_dir / "reads.fq"
+    if not fmi_fq.exists():
+        fmi_dir.mkdir(exist_ok=True)
+        rng_f = np.random.default_rng(106)
+        ref_len, n_reads, read_len = 2_000_000, 250_000, 100
+        ref = "".join("ACGT"[c] for c in rng_f.integers(0, 4, ref_len))
+        with open(fmi_fa, "w") as f:
+            f.write(">chr1\n")
+            for i in range(0, ref_len, 70):
+                f.write(ref[i:i + 70] + "\n")
+        with open(fmi_fq, "w") as f:
+            for i in range(n_reads):
+                p = int(rng_f.integers(0, ref_len - read_len))
+                s = list(ref[p:p + read_len])
+                for _ in range(5):
+                    s[int(rng_f.integers(0, read_len))] = \
+                        "ACGT"[rng_f.integers(0, 4)]
+                f.write(f"@r{i}\n{''.join(s)}\n+\n{'I' * read_len}\n")
+    paths["fmi"] = (fmi_fa, fmi_fq)
+
+    pile_bam = TMP / "bench_pileup.bam"
+    if not pile_bam.exists():
+        from test_pileup import make_bam
+        make_bam(pile_bam, np.random.default_rng(107), ref_len=1_000_000,
+                 n_reads=150_000, read_len=300)
+    paths["pileup"] = (pile_bam, "tig1:1-1000000")
+
+    dbg_dir = TMP / "bench_dbg"
+    if not (dbg_dir / "r.bam").exists():
+        dbg_dir.mkdir(exist_ok=True)
+        from test_dbg import make_case
+        make_case(dbg_dir, np.random.default_rng(108), ref_len=1_000_000,
+                  n_reads=50_000, read_len=150)
+    paths["dbg"] = (dbg_dir / "r.bam", "tig1:0-1000000",
+                    dbg_dir / "ref.fa")
+
+    poa = TMP / "bench_poa_v3.txt"
     if not poa.exists():
         rng_p = np.random.default_rng(105)
         out = []
-        for b in range(24):
-            base = "".join("ACGT"[c] for c in rng_p.integers(0, 4, 150))
-            for s in range(8):
+        for b in range(256):
+            base = "".join("ACGT"[c] for c in rng_p.integers(0, 4, 250))
+            for s in range(10):
                 seq = []
                 for ch in base:
                     r = rng_p.random()
@@ -199,6 +239,41 @@ def ref_time(kernel: str, paths, nthreads: int) -> float:
         secs = _grep_time(r"Runtime:?\s+([0-9.]+)", r.stdout + r.stderr)
         if secs != secs:     # spoa prints a stage breakdown instead
             secs = _grep_time(r"total.*?([0-9.]+)", r.stderr + r.stdout)
+    elif kernel == "chain":
+        r = subprocess.run(
+            [str(build_ref("chain_ref")), "-i", str(paths["chain"]),
+             "-o", str(TMP / "bench_chain_cref.out")],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Time in kernel: ([0-9.]+) sec",
+                          r.stderr + r.stdout)
+    elif kernel == "fmi":
+        fa, fq = paths["fmi"]
+        if not (fa.parent / (fa.name + ".bwt.2bit.64")).exists():
+            subprocess.run([str(build_ref("fmi_index_builder")),
+                            str(fa), str(fa)], check=True,
+                           capture_output=True, timeout=1800)
+        r = subprocess.run(
+            [str(build_ref("fmi_ref")), str(fa), str(fq), "512", "19",
+             str(nthreads)],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Computing time: ([0-9.eE+-]+) s",
+                          r.stdout + r.stderr)
+    elif kernel == "pileup":
+        bam, region = paths["pileup"]
+        r = subprocess.run(
+            [str(build_ref("pileup_ref")), str(bam), region,
+             str(nthreads)],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Kernel runtime: ([0-9.]+)",
+                          r.stderr + r.stdout)
+    elif kernel == "dbg":
+        bam, region, fa = paths["dbg"]
+        r = subprocess.run(
+            [str(build_ref("dbg_ref")), str(bam), region, str(fa),
+             str(nthreads), "0"],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Kernel runtime: ([0-9.]+)",
+                          r.stderr + r.stdout)
     else:
         raise KeyError(kernel)
     cache[key] = secs
@@ -265,6 +340,42 @@ def measure_child(kernel: str, platform: str):
         t0 = time.perf_counter()
         consensus_for_batches(batches, engine)
         dt = time.perf_counter() - t0
+    elif kernel in ("chain", "fmi", "pileup", "dbg"):
+        import contextlib
+        import io as io_mod
+
+        def cli_time(mod_run, args, pattern):
+            val = float("nan")
+            for _ in range(2):            # 2nd run: compile cache warm
+                so, se = io_mod.StringIO(), io_mod.StringIO()
+                with contextlib.redirect_stdout(so), \
+                        contextlib.redirect_stderr(se):
+                    mod_run(args)
+                m = re.search(pattern, so.getvalue() + se.getvalue())
+                if m:
+                    val = float(m.group(1))
+            return val
+
+        if kernel == "chain":
+            from genarchbench_tpu.kernels.chain import run as krun
+            dt = cli_time(krun, ["-i", str(paths["chain"]), "-o",
+                                 str(TMP / "bench_chain_ours.out")],
+                          r"Time in kernel: ([0-9.]+) sec")
+        elif kernel == "fmi":
+            from genarchbench_tpu.kernels.fmi import run as krun
+            fa, fq = paths["fmi"]
+            dt = cli_time(krun, [str(fa), str(fq), "512", "19", "1"],
+                          r"Computing time: ([0-9.eE+-]+) s")
+        elif kernel == "pileup":
+            from genarchbench_tpu.kernels.pileup import run as krun
+            bam, region = paths["pileup"]
+            dt = cli_time(krun, [str(bam), region, "1"],
+                          r"Kernel runtime: ([0-9.]+)")
+        else:
+            from genarchbench_tpu.kernels.dbg import run as krun
+            bam, region, fa = paths["dbg"]
+            dt = cli_time(krun, [str(bam), region, str(fa), "1", "0"],
+                          r"Kernel runtime: ([0-9.]+)")
     else:
         raise KeyError(kernel)
     print(f"MEASURE {dt:.4f} {platform}")
@@ -288,8 +399,10 @@ def main() -> None:
 
     paths = gen_inputs()
     nthreads = os.cpu_count() or 1
-    kernels = os.environ.get("BENCH_KERNELS",
-                             "kmer,bpm,fastchain,bsw,wfa,poa").split(",")
+    kernels = os.environ.get(
+        "BENCH_KERNELS",
+        "kmer,bpm,fastchain,bsw,wfa,poa,chain,fmi,pileup,dbg"
+    ).split(",")
 
     speedups = {}
     plat_used = {}

@@ -595,8 +595,22 @@ def run(argv: Sequence[str]) -> int:
             evs.append(get_events(raw))
         return chunk, evs
 
+    def emit_batch(chunk, evs, pairs):
+        """stage 3 (host): postprocess + eventalign TSV rows
+        (output_db, meth_main.c:166-186)."""
+        for (idx, _, contig, pos, sq), et, pr in zip(chunk, evs, pairs):
+            sh, sc = estimate_scalings(sq, et, model)
+            write_eventalign(out, contig, pos, sq, pr, et, model,
+                             sh, sc, idx)
+
     roi = ROITimer("abea", "Data processing time: {t:.3f} sec")
-    with roi, ThreadPoolExecutor(max_workers=1) as pool:
+    # full 3-stage pipeline (meth_main.c:12-27,517-570): the loader
+    # thread reads batch i+1, the main thread runs batch i's band scan
+    # on device, and the writer thread emits batch i-1 — three batches
+    # in flight, like the reference's double-buffered DB pair with its
+    # separate processor/post-processor pthreads
+    with roi, ThreadPoolExecutor(max_workers=1) as pool, \
+            ThreadPoolExecutor(max_workers=1) as wpool:
         nxt = pool.submit(load_batch, 0) if jobs else None
         for b0 in range(0, len(jobs), args.batch):
             chunk, evs = nxt.result()
@@ -607,11 +621,8 @@ def run(argv: Sequence[str]) -> int:
                 continue
             seqs = [sq for (_, _, _, _, sq) in chunk]
             pairs = align_batch(seqs, evs, model, mesh=mesh)
-            for (idx, _, contig, pos, sq), et, pr in zip(chunk, evs,
-                                                         pairs):
-                sh, sc = estimate_scalings(sq, et, model)
-                write_eventalign(out, contig, pos, sq, pr, et, model,
-                                 sh, sc, idx)
+            wpool.submit(emit_batch, chunk, evs, pairs)
+        # context exit joins the writer queue before the file closes
     if args.output:
         out.close()
     roi.report()

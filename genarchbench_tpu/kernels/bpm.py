@@ -29,6 +29,7 @@ from functools import partial
 from typing import List, Sequence
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -167,6 +168,71 @@ def bpm_batch(pairs: SeqPairs, max_batch: int = 8192,
     return out
 
 
+@partial(jax.jit, static_argnames=("L", "m_sc", "x_sc", "g_sc"))
+def _bitpal_device(pat, txt, plen, tlen, L, m_sc, x_sc, g_sc):
+    """Batched GLOBAL alignment score with linear gaps — the quantity
+    BitPAL's delta-packed last-row accumulation computes
+    (bitpal/bitpal.m0.x1.g1.c returns -edit distance; m1.x4.g2 the
+    match=1/mismatch=-4/gap=-2 score).  Row scan over the pattern; the
+    in-row chain H[i][j-1]+g closes into ONE running-max scan of
+    pre[j'] - j'*g (same trick as the SSW column sweep)."""
+    B = pat.shape[0]
+    i32 = jnp.int32
+    jidx = jnp.arange(L + 1, dtype=i32)
+    NEGB = jnp.int32(-(1 << 28))
+    H0 = jnp.where(jidx[None, :] <= tlen[:, None],
+                   jidx[None, :] * g_sc, NEGB)
+
+    def row(i, H):
+        pb = pat[:, i][:, None]                        # (B,1)
+        s = jnp.where(txt == pb, m_sc, x_sc)           # (B,L)
+        diag = H[:, :-1] + s                           # -> cells j=1..L
+        up = H[:, 1:] + g_sc
+        pre = jnp.maximum(diag, up)
+        pre0 = jnp.full((B, 1), (i + 1) * g_sc, i32)   # column 0
+        pre = jnp.concatenate([pre0, pre], axis=1)     # (B, L+1)
+        t = pre - jidx[None, :] * g_sc
+        cm = lax.associative_scan(jnp.maximum, t, axis=1)
+        Hn = cm + jidx[None, :] * g_sc
+        Hn = jnp.where(jidx[None, :] <= tlen[:, None], Hn, NEGB)
+        return jnp.where(i < plen[:, None], Hn, H)
+
+    H = lax.fori_loop(0, L, row, H0)
+    return jnp.take_along_axis(H, tlen[:, None], axis=1)[:, 0]
+
+
+def bitpal_batch(pairs: SeqPairs, m_sc: int, x_sc: int, g_sc: int,
+                 max_batch: int = 8192, mesh=None) -> np.ndarray:
+    """Scores for the bitpal-edit / bitpal-scored algorithms
+    (benchmark_bitpal.c:30-52), batched with length bucketing."""
+    from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+    n = len(pairs)
+    out = np.zeros(n, np.int64)
+    order = np.argsort([max(len(pairs.patterns[i]), len(pairs.texts[i]))
+                        for i in range(n)], kind="stable")
+    for lo in range(0, n, max_batch):
+        chunk = order[lo:lo + max_batch]
+        L = 1 << max(int(max(
+            max(len(pairs.patterns[i]), len(pairs.texts[i]))
+            for i in chunk)) - 1, 1).bit_length()
+        B = pad_batch(1 << max(len(chunk) - 1, 1).bit_length(), mesh)
+        pat = np.full((B, L), 254, np.int32)
+        txt = np.full((B, L), 255, np.int32)
+        plen = np.zeros(B, np.int32)
+        tlen = np.zeros(B, np.int32)
+        for b, i in enumerate(chunk):
+            p_, t_ = pairs.patterns[i], pairs.texts[i]
+            pat[b, :len(p_)] = p_
+            txt[b, :len(t_)] = t_
+            plen[b], tlen[b] = len(p_), len(t_)
+        pat, txt, plen, tlen = shard_args(mesh, pat, txt, plen, tlen)
+        sc = np.asarray(_bitpal_device(pat, txt, plen, tlen, L=L,
+                                       m_sc=m_sc, x_sc=x_sc,
+                                       g_sc=g_sc))
+        out[chunk] = sc[:len(chunk)]
+    return out
+
+
 def cell_updates(pairs: SeqPairs) -> int:
     return sum(len(p) * len(t) for p, t in zip(pairs.patterns, pairs.texts))
 
@@ -176,7 +242,8 @@ def run(argv: Sequence[str]) -> int:
     -a bpm-edit -i input -o output -t threads."""
     import argparse
     p = argparse.ArgumentParser(prog="bpm")
-    p.add_argument("-a", dest="algorithm", default="bpm-edit")
+    p.add_argument("-a", dest="algorithm", default="bpm-edit",
+                   choices=["bpm-edit", "bitpal-edit", "bitpal-scored"])
     p.add_argument("-i", dest="input", required=True)
     p.add_argument("-o", dest="output", default=None)
     p.add_argument("-t", dest="threads", type=int, default=1)
@@ -186,7 +253,12 @@ def run(argv: Sequence[str]) -> int:
     pairs = read_seqpairs(args.input, swap_longer_first=True)
     roi = ROITimer("bpm", "=> Time.Benchmark      {t:.2f} s")
     with roi:
-        scores = bpm_batch(pairs, mesh=data_mesh())
+        if args.algorithm == "bitpal-edit":
+            scores = bitpal_batch(pairs, 0, -1, -1, mesh=data_mesh())
+        elif args.algorithm == "bitpal-scored":
+            scores = bitpal_batch(pairs, 1, -4, -2, mesh=data_mesh())
+        else:
+            scores = bpm_batch(pairs, mesh=data_mesh())
         roi.sync(scores)
     print("[Benchmark]", file=sys.stderr)
     print(f"=> Total.reads            {len(pairs)}", file=sys.stderr)
@@ -197,10 +269,12 @@ def run(argv: Sequence[str]) -> int:
               f"({cells / roi.elapsed:.3e} cells/s)", file=sys.stderr)
 
     if args.output:
-        # the reference prints the negated edit distance: benchmark_edit_bpm
-        # returns -edit_cigar_score_edit (benchmark/benchmark_edit.c:49)
+        # bpm-edit prints the NEGATED edit distance (benchmark_edit.c:49);
+        # the bitpal algorithms print their scores directly
+        neg = args.algorithm == "bpm-edit"
         with open(args.output, "w") as f:
-            f.writelines(f"[{i}] score={-s}\n" for i, s in enumerate(scores))
+            f.writelines(f"[{i}] score={-s if neg else s}\n"
+                         for i, s in enumerate(scores))
     return 0
 
 

@@ -28,6 +28,7 @@ kernel computes in int32, the TPU's native integer width.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import defaultdict
 from functools import partial
@@ -448,7 +449,13 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
                               o_ins, e_ins, o_del, e_del, w)[0]).astype(np.int32)
         s1 = fill(flat_r, off_r, src, safe, valid, L1, R, NIB_DUMMY1)
         s2 = fill(flat_q, off_q, src, safe, valid, L2, C2, NIB_DUMMY2)
-        if backend == "pallas" and mesh is None:
+        # Pallas on explicit opt-in (GENARCH_BACKEND=pallas); the XLA
+        # formulation stays the measured-fastest default on this
+        # hardware (see verify skill notes), mesh runs always XLA
+        from genarchbench_tpu.core.backend import use_pallas
+        if (backend == "pallas"
+                or os.environ.get("GENARCH_BACKEND") == "pallas") \
+                and mesh is None:
             from genarchbench_tpu.kernels.bsw_pallas import _bsw_pallas
             out = _bsw_pallas(s1, s2, L1, L2, H0, MB, R=R,
                               match=match, mismatch=mis, ambig=amb,

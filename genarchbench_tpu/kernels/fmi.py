@@ -62,7 +62,14 @@ for _i, _c in enumerate("ACGT"):
 # ---------------------------------------------------------------------------
 
 def _suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (sorted ranks via np.lexsort)."""
+    """Suffix array: linear-time SA-IS in native C (native/sais.c —
+    scales to genome-size references like the reference's own O(n)
+    builder, FMI_search.cpp:162-298); prefix doubling as the pure-
+    Python fallback."""
+    from genarchbench_tpu import native
+    sa = native.sais_native(codes.astype(np.uint8))
+    if sa is not None:
+        return sa
     n = len(codes)
     rank = codes.astype(np.int64)
     sa = np.argsort(rank, kind="stable")

@@ -98,12 +98,18 @@ def _build_mismatch_table(pattern, text, tlen, K0, D):
     return bits.sum(axis=3)
 
 
-@partial(jax.jit, static_argnames=("K0", "D", "Scap", "x", "o", "e"))
+@partial(jax.jit, static_argnames=("K0", "D", "Scap", "x", "o", "e",
+                                   "red_len", "red_dist"))
 def _wfa_forward(pattern, text, plen, tlen, mmtbl, state,
-                 K0, D, Scap, x, o, e):
+                 K0, D, Scap, x, o, e, red_len=0, red_dist=0):
     """Advance the batched score loop until every lane completes or the
     score cap is hit.  `state` is the full resumable carry (see
-    `_init_state`); diagonal k is stored at index j = k + K0."""
+    `_init_state`); diagonal k is stored at index j = k + K0.
+    red_len/red_dist > 0 turn on ADAPTIVE WAVEFRONT REDUCTION
+    (affine_wavefront_extend.c:85-156): after extending m[s], trim
+    diagonals whose distance-to-target exceeds the wavefront minimum by
+    more than red_dist (never trimming past the alignment diagonal),
+    and clamp the same score's i/d bounds to the reduced range."""
     B = pattern.shape[0]
     Lp = pattern.shape[1]
     i32 = jnp.int32
@@ -180,6 +186,57 @@ def _wfa_forward(pattern, text, plen, tlen, mmtbl, state,
         # ONE store write per step
         col = code_carry | ((Ms - Ms0).astype(u32) << 8)
         store = lax.dynamic_update_slice(store, col[:, None, :], (0, s, 0))
+
+        # ---- adaptive reduction (affine_wavefront_extend.c:85-156),
+        # applied between extension and the end condition like the
+        # reference's extend_wavefront_packed (:256-276) ----
+        if red_len > 0:
+            BIG = 1 << 29
+            akv = ak[:, 0]
+            inw = act                      # live, m non-null, in [lo,hi]
+            do_red = live & mex_s & ((mhi_s - mlo_s + 1) >= red_len)
+            v = Ms - kk
+            h = Ms
+            dist = jnp.maximum(plen[:, None] - v, tlen[:, None] - h)
+            dmin = jnp.min(jnp.where(inw, dist, BIG), axis=1)
+            okd = (dist - dmin[:, None]) <= red_dist
+            top_lim = jnp.minimum(akv - 1, mhi_s)
+            cand = inw & okd & (kk < top_lim[:, None])
+            first_ok = jnp.min(jnp.where(cand, kk, BIG), axis=1)
+            nlo = jnp.maximum(jnp.minimum(first_ok, top_lim), mlo_s)
+            nlo = jnp.where(do_red & (top_lim > mlo_s), nlo, mlo_s)
+            bot_lim = jnp.maximum(akv + 1, nlo)
+            cand_h = inw & okd & (kk > bot_lim[:, None])
+            last_ok = jnp.max(jnp.where(cand_h, kk, -BIG), axis=1)
+            nhi = jnp.minimum(jnp.maximum(last_ok, bot_lim), mhi_s)
+            nhi = jnp.where(do_red & (mhi_s > bot_lim), nhi, mhi_s)
+            nex = mex_s & ~(do_red & (nlo > nhi))
+            mlo_s, mhi_s, mex_s = nlo, nhi, nex
+
+            def redcol(arr, val):
+                return lax.dynamic_update_slice(
+                    arr, val[:, None], (0, tr))
+
+            mlo = redcol(mlo, mlo_s)
+            mhi = redcol(mhi, mhi_s)
+            mex = redcol(mex, mex_s)
+            # clamp i/d wavefronts at this score to the reduced range
+            ie_s, il_s, ih_s = bounds(iex, ilo, ihi, s)
+            de_s, dl_s, dh_s = bounds(dex, dlo, dhi, s)
+            il_n = jnp.where(do_red & ie_s, jnp.maximum(il_s, mlo_s),
+                             il_s)
+            ih_n = jnp.where(do_red & ie_s, jnp.minimum(ih_s, mhi_s),
+                             ih_s)
+            dl_n = jnp.where(do_red & de_s, jnp.maximum(dl_s, mlo_s),
+                             dl_s)
+            dh_n = jnp.where(do_red & de_s, jnp.minimum(dh_s, mhi_s),
+                             dh_s)
+            ilo = redcol(ilo, il_n)
+            ihi = redcol(ihi, ih_n)
+            iex = redcol(iex, ie_s & ~(do_red & (il_n > ih_n)))
+            dlo = redcol(dlo, dl_n)
+            dhi = redcol(dhi, dh_n)
+            dex = redcol(dex, de_s & ~(do_red & (dl_n > dh_n)))
 
         # ---- end condition (affine_wavefront_utils.c:85-103) ----
         at_ak = jnp.take_along_axis(Ms, jak[:, None], axis=1)[:, 0]
@@ -553,7 +610,8 @@ def _geometry(Lp: int, Lt: int, scap: int):
 
 
 def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
-              max_batch: int = 4096, scap0: int = 64, mesh=None) -> List[str]:
+              max_batch: int = 4096, scap0: int = 64, mesh=None,
+              red_len: int = 0, red_dist: int = 0) -> List[str]:
     """RLE CIGAR per pair in input order (complete-wavefronts mode).
     With a mesh, pairs shard data-parallel along the batch axis; the
     lock-step score loop's global `any(active)` condition becomes an
@@ -625,7 +683,9 @@ def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
             while True:
                 state = list(_wfa_forward(pat, txt, plen, tlen, mmtbl,
                                           tuple(state), K0=K0, D=D,
-                                          Scap=scap, x=x, o=o, e=e))
+                                          Scap=scap, x=x, o=o, e=e,
+                                          red_len=red_len,
+                                          red_dist=red_dist))
                 if bool(jnp.all(state[15])):
                     break
                 if scap * 2 > (1 << 16):
@@ -681,14 +741,22 @@ def run(argv: Sequence[str]) -> int:
     p.add_argument("-x", dest="mismatch", type=int, default=4)
     p.add_argument("-g", dest="gap_opening", type=int, default=6)
     p.add_argument("-G", dest="gap_extension", type=int, default=2)
+    p.add_argument("--minimum-wavefront-length", dest="red_len",
+                   type=int, default=-1,
+                   help="adaptive reduction on (align_benchmark.c:267)")
+    p.add_argument("--maximum-difference-distance", dest="red_dist",
+                   type=int, default=-1)
     args = p.parse_args(argv)
+    adaptive = args.red_len >= 0
 
     from genarchbench_tpu.sharding.mesh import data_mesh
     pairs = read_seqpairs(args.input, swap_longer_first=False)
     roi = ROITimer("wfa", "Time.Alignment: {t:f} s")
     with roi:
         cigars = wfa_batch(pairs, x=args.mismatch, o=args.gap_opening,
-                           e=args.gap_extension, mesh=data_mesh())
+                           e=args.gap_extension, mesh=data_mesh(),
+                           red_len=args.red_len if adaptive else 0,
+                           red_dist=args.red_dist if adaptive else 0)
     print(f"Total.reads: {len(pairs)}")
     roi.report(file=sys.stdout)
     cells = cell_updates(pairs)

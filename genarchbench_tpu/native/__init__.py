@@ -71,12 +71,15 @@ def readers_lib() -> Optional[ctypes.CDLL]:
     if os.environ.get("GENARCH_NO_NATIVE"):
         return None
     src = os.path.join(_DIR, "readers.c")
+    sais_src = os.path.join(_DIR, "sais.c")
     so_path = os.path.join(_DIR, "readers.so")
     if not os.path.exists(so_path) or (
-            os.path.getmtime(so_path) < os.path.getmtime(src)):
+            os.path.getmtime(so_path) < max(os.path.getmtime(src),
+                                            os.path.getmtime(sais_src))):
         cc = os.environ.get("CC", "cc")
         r = subprocess.run(
-            [cc, "-O3", "-shared", "-fPIC", "-o", so_path, src, "-lz"],
+            [cc, "-O3", "-shared", "-fPIC", "-o", so_path, src,
+             sais_src, "-lz"],
             capture_output=True, text=True)
         if r.returncode != 0:
             print(f"[genarchbench_tpu.native] readers build failed: "
@@ -120,6 +123,8 @@ def readers_lib() -> Optional[ctypes.CDLL]:
     lib.minimizer_scan.restype = i64
     lib.minimizer_scan.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), i64, i64, p64]
+    lib.sais_u8.restype = ctypes.c_int
+    lib.sais_u8.argtypes = [pu8, i64, i64, p64]
     _READERS = lib
     return lib
 
@@ -240,6 +245,26 @@ def chain_native(path: str):
                     xs[w:w + n_i].copy(), ys[w:w + n_i].copy()))
         w += n_i
     return out
+
+
+def sais_native(codes):
+    """Suffix array of `codes` (values < 250) via linear-time SA-IS in
+    C; None when the native library is unavailable.  Matches the
+    shorter-suffix-first (sentinel) lexicographic order."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    n = len(codes)
+    T = np.empty(n + 1, np.uint8)
+    T[:n] = codes + 1                       # shift so 0 is unique-min
+    T[n] = 0
+    SA = np.empty(n + 1, np.int64)
+    K = int(T.max()) + 1
+    if lib.sais_u8(_as_ptr(T, ctypes.c_uint8), n + 1, K,
+                   _as_ptr(SA, ctypes.c_int64)) != 0:
+        return None
+    return SA[1:]                           # drop the sentinel row
 
 
 def minimizer_scan_native(hashes, window: int):

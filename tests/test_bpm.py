@@ -59,3 +59,32 @@ def test_bpm_pallas_backend_matches_xla(tmp_path):
     xla = bpm_mod.bpm_batch(pairs, backend="xla")
     pal = bpm_mod.bpm_batch(pairs, backend="pallas")
     np.testing.assert_array_equal(xla, pal)
+
+
+@pytest.mark.parametrize("alg,seed,n,length,err", [
+    ("bitpal-edit", 0, 32, 100, 0.1),
+    ("bitpal-edit", 1, 24, 300, 0.25),
+    ("bitpal-scored", 2, 32, 100, 0.1),
+    ("bitpal-scored", 3, 24, 300, 0.25),
+])
+def test_bitpal_matches_reference(bpm_ref, tmp_path, alg, seed, n,
+                                  length, err):
+    """BitPAL variants (bitpal/bitpal.m0.x1.g1.c, m1.x4.g2.c): global
+    linear-gap alignment scores."""
+    import subprocess
+
+    from genarchbench_tpu.kernels import bpm as bpm_mod
+    rng = np.random.default_rng(seed)
+    text = gen_seqpair_dataset(rng, n_pairs=n, length=length,
+                               error_rate=err)
+    inp = tmp_path / "pairs.txt"
+    inp.write_text(text)
+    outp = tmp_path / "ref.out"
+    r = subprocess.run([str(bpm_ref), "-a", alg, "-i", str(inp),
+                        "-o", str(outp)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-300:]
+    want = sorted(outp.read_text().splitlines())
+
+    ourp = tmp_path / "ours.out"
+    bpm_mod.run(["-a", alg, "-i", str(inp), "-o", str(ourp)])
+    assert sorted(ourp.read_text().splitlines()) == want

@@ -123,3 +123,18 @@ def test_native_reader_used_by_readers(tmp_path):
     rs = read_fasta(str(f))
     assert rs.names == ["a"] and len(rs.seqs[0]) == 100
     assert rs.seqs[0].dtype == np.uint8
+
+
+def test_sais_matches_doubling():
+    """native SA-IS vs prefix doubling vs brute force, random texts."""
+    from genarchbench_tpu import native
+    rng = np.random.default_rng(5)
+    for n, K in [(1, 4), (2, 4), (7, 2), (64, 4), (257, 4),
+                 (1000, 4), (5000, 2), (3000, 4)]:
+        codes = rng.integers(0, K, n).astype(np.uint8)
+        sa = native.sais_native(codes)
+        if sa is None:
+            pytest.skip("no C toolchain")
+        s = codes.tobytes()
+        want = sorted(range(n), key=lambda i: s[i:])
+        assert list(sa) == want, (n, K)

@@ -52,3 +52,27 @@ def test_wfa_scap_retry(wfa_ref, tmp_path):
 def test_wfa_identical_pair(wfa_ref, tmp_path):
     text = ">ACGTACGTAC\n<ACGTACGTAC\n>AC\n<TG\n"
     assert our_lines(text, tmp_path) == ref_lines(wfa_ref, text, tmp_path)
+
+
+@pytest.mark.parametrize("seed,n,length,err,mlen,mdist", [
+    (5, 32, 100, 0.10, 10, 50),
+    (6, 24, 150, 0.20, 10, 25),
+    (7, 16, 80, 0.05, 5, 10),
+])
+def test_wfa_adaptive_reduction_matches_reference(wfa_ref, tmp_path,
+                                                  seed, n, length, err,
+                                                  mlen, mdist):
+    """Adaptive wavefront reduction (affine_wavefront_extend.c:85-156)
+    parity: --minimum-wavefront-length/--maximum-difference-distance."""
+    rng = np.random.default_rng(seed)
+    text = gen_seqpair_dataset(rng, n_pairs=n, length=length,
+                               error_rate=err)
+    inp = tmp_path / "pairs.txt"
+    inp.write_text(text)
+    pairs = read_seqpairs(str(inp), swap_longer_first=False)
+    cigars = wfa_mod.wfa_batch(pairs, red_len=mlen, red_dist=mdist)
+    ours = sorted(f"id={i} {c}" for i, c in enumerate(cigars))
+    want = ref_lines(wfa_ref, text, tmp_path,
+                     extra=["--minimum-wavefront-length", str(mlen),
+                            "--maximum-difference-distance", str(mdist)])
+    assert ours == want
