@@ -124,17 +124,17 @@ def gen_inputs():
     pile_bam = TMP / "bench_pileup.bam"
     if not pile_bam.exists():
         from test_pileup import make_bam
-        make_bam(pile_bam, np.random.default_rng(107), ref_len=1_000_000,
-                 n_reads=150_000, read_len=300)
-    paths["pileup"] = (pile_bam, "tig1:1-1000000")
+        make_bam(pile_bam, np.random.default_rng(107), ref_len=500_000,
+                 n_reads=60_000, read_len=300)
+    paths["pileup"] = (pile_bam, "tig1:1-500000")
 
     dbg_dir = TMP / "bench_dbg"
     if not (dbg_dir / "r.bam").exists():
         dbg_dir.mkdir(exist_ok=True)
         from test_dbg import make_case
-        make_case(dbg_dir, np.random.default_rng(108), ref_len=1_000_000,
-                  n_reads=50_000, read_len=150)
-    paths["dbg"] = (dbg_dir / "r.bam", "tig1:0-1000000",
+        make_case(dbg_dir, np.random.default_rng(108), ref_len=500_000,
+                  n_reads=25_000, read_len=150)
+    paths["dbg"] = (dbg_dir / "r.bam", "tig1:0-500000",
                     dbg_dir / "ref.fa")
 
     poa = TMP / "bench_poa_v3.txt"

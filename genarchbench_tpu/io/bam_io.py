@@ -168,21 +168,21 @@ def write_bam(path: str, refs: List[Tuple[str, int]],
 
     encoded = [_encode_record(r) for r in records]
     # block boundaries: header alone, then each record starts a block if
-    # the current block would exceed the BGZF limit
-    data = head
+    # the current block would exceed the BGZF limit (list-accumulated:
+    # a bytes += loop is quadratic in total output size)
+    parts = [head]
+    total = len(head)
     bounds = [0]
     rec_off: List[Tuple[int, int]] = []   # (block_idx, offset_in_block)
     cur_start = 0
-
-    def cur_len():
-        return len(data) - cur_start
-
     for enc in encoded:
-        if cur_len() + len(enc) > 0xFF00:
-            bounds.append(len(data))
-            cur_start = len(data)
-        rec_off.append((len(bounds) - 1, len(data) - cur_start))
-        data += enc
+        if total - cur_start + len(enc) > 0xFF00:
+            bounds.append(total)
+            cur_start = total
+        rec_off.append((len(bounds) - 1, total - cur_start))
+        parts.append(enc)
+        total += len(enc)
+    data = b"".join(parts)
     offsets = bgzf_write(path, data, bounds)
 
     if index:

@@ -20,8 +20,10 @@ carry, selecting the largest j that attains it.
 End-to-end the kernel is TRANSFER-bound, not compute-bound (the tunnel
 moves device->host at ~45 MB/s vs ~1.4 GB/s host->device), so the host
 boundary is designed around bytes pulled:
-  * window starts are computed ON DEVICE (branchless 64-bit lower_bound
-    over the sorted anchor rows) instead of shipped,
+  * window starts ship from the host (vectorized searchsorted +
+    running max) over the FAST h2d direction — the on-device
+    lower_bound alternative (_device_window_starts, kept behind
+    GENARCH_FASTCHAIN_DEVICE_ST=1) costs 18 full-batch gathers,
   * spans ship as uint8 (an 8-bit field of y by format, host_data.h),
   * only the argmax PARENTS come back (int16 when N allows), and the
     scores are reconstructed on the host in native C
@@ -32,6 +34,7 @@ boundary is designed around bytes pulled:
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Sequence
 
@@ -97,7 +100,8 @@ def _device_window_starts(x_hi, x_lo, n, mdx):
 
 
 @jax.jit
-def _fast_chain_device(x_lo, x_hi, qi, span8, n, mdx, mdxy, bw, avg_qspan):
+def _fast_chain_device(x_lo, x_hi, qi, span8, st, n, mdx, mdxy, bw,
+                       avg_qspan):
     """Tile-structured fast-chain DP.
 
     x_lo/x_hi (B,N) uint32; qi (B,N) int32; span8 (B,N) uint8 (y's 8-bit
@@ -138,7 +142,12 @@ def _fast_chain_device(x_lo, x_hi, qi, span8, n, mdx, mdxy, bw, avg_qspan):
     f32 = jnp.float32
     NEG = jnp.int32(-(1 << 30))
     span = span8.astype(i32)
-    st = _device_window_starts(x_hi, x_lo, n, mdx)
+    # st ships from the host (vectorized searchsorted + running max,
+    # chain_io.window_starts): h2d is the FAST direction of the link,
+    # while the former on-device branchless lower_bound cost 18
+    # full-batch gathers per call (gathers measured ~100x slower than
+    # elementwise on this TPU); set GENARCH_FASTCHAIN_DEVICE_ST=1 to
+    # A/B the device version (_device_window_starts)
     CH = min(CHUNK, N)   # short records: chunk cannot exceed the row
     lane = jnp.arange(CH, dtype=i32)
     T = min(TILE, N)     # N is pow2, so N % T == 0 always
@@ -296,7 +305,17 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
         avg = np.zeros(B, np.float32)
         avg[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
 
-        dargs = shard_args(mesh, x_lo, x_hi, qi, span, n, mdx, mdxy, bw, avg)
+        if os.environ.get("GENARCH_FASTCHAIN_DEVICE_ST"):
+            st_d = _device_window_starts(
+                jnp.asarray(x_hi), jnp.asarray(x_lo), jnp.asarray(n),
+                jnp.asarray(mdx))
+            st_pad = np.asarray(st_d)
+        else:
+            st_pad = np.tile(np.arange(N, dtype=np.int32), (B, 1))
+            for b, r in enumerate(recs):
+                st_pad[b, :r.n] = r.window_starts()
+        dargs = shard_args(mesh, x_lo, x_hi, qi, span, st_pad, n, mdx,
+                           mdxy, bw, avg)
         parents_d, scores_d = _fast_chain_device(*dargs)
         # start the transfer NOW; pulls of later plans overlap it
         try:
