@@ -22,6 +22,10 @@ BAI_MAGIC = b"BAI\x01"
 CIGAR_OPS = "MIDNSHP=X"
 NT16 = "=ACMGRSVTWYHKDBN"
 NT16_OF = {c: i for i, c in enumerate(NT16)}
+NT16_TABLE = np.full(256, 15, np.uint8)
+for _c, _i in NT16_OF.items():
+    NT16_TABLE[ord(_c)] = _i
+    NT16_TABLE[ord(_c.lower())] = _i
 REF_CONSUME = {0, 2, 3, 7, 8}      # M D N = X
 QRY_CONSUME = {0, 1, 4, 7, 8}      # M I S = X
 
@@ -119,8 +123,8 @@ class BamRecord:
         return sum(n for op, n in self.cigar if op in REF_CONSUME)
 
     def nt16(self) -> np.ndarray:
-        return np.array([NT16_OF.get(c.upper(), 15) for c in self.seq],
-                        np.uint8)
+        return NT16_TABLE[np.frombuffer(self.seq.encode("latin-1"),
+                                        np.uint8)]
 
 
 def _reg2bin(beg: int, end: int) -> int:

@@ -84,9 +84,14 @@ def _window_min_mask(seqs: List[str], quals: List[np.ndarray]) -> List[np.ndarra
 
 def build_window_graph(ref: str, ref_start: int,
                        reads: List[Tuple[str, np.ndarray, bool]],
-                       masks: List[np.ndarray]) -> str:
+                       masks: List[np.ndarray],
+                       stringify: bool = True) -> str:
     """Returns the concatenated node-suffix string for one window.
-    reads: (seq, qual, qcfail)."""
+    reads: (seq, qual, qcfail).  With stringify=False the graph is
+    still deduplicated (the kernel work) but the output string is not
+    materialized — the reference likewise only prints node sequences
+    under verbose (debruijn.cpp:1458-1464), and the suffix
+    concatenation is pure output formatting."""
     # vectorized first-insertion dedupe: list every (buffer, position)
     # candidate in the reference's exact insertion order (i, i+1 pairs;
     # debruijn.cpp createDeBruijnGraph), take the kmer byte windows in
@@ -127,6 +132,8 @@ def build_window_graph(ref: str, ref_start: int,
     km = np.ascontiguousarray(sw[offs[cb] + cp])
     kv = km.view(f"V{KMER}")[:, 0]
     _, first = np.unique(kv, return_index=True)
+    if not stringify:
+        return ""
     first.sort()
     return "".join(bufs[cb[t]][cp[t]:] for t in first.tolist())
 
@@ -212,7 +219,8 @@ def run(argv: Sequence[str]) -> int:
                 s_i = e_i = 0
             wr = [(s[2], s[3], s[4]) for s in sel[s_i:e_i]]
             wm = masks[s_i:e_i]
-            body = build_window_graph(ref_slice, ref_start, wr, wm)
+            body = build_window_graph(ref_slice, ref_start, wr, wm,
+                                      stringify=verbose > 0)
             out_lines.append(f"{ref_start} {ref_start} {body}")
     if verbose > 0:                 # print_graph = verbose > 0
         for ln in out_lines:

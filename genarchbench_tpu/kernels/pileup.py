@@ -31,7 +31,7 @@ import numpy as np
 
 from genarchbench_tpu.core.roi import ROITimer
 from genarchbench_tpu.io.bam_io import (
-    BamRecord, FDUP, FQCFAIL, FSECONDARY, FSUPPL, FUNMAP,
+    BamRecord, FDUP, FQCFAIL, FSECONDARY, FSUPPL, FUNMAP, NT16_TABLE,
     parse_region, read_bam)
 
 PLP_BASES = "acgtACGTdD"
@@ -96,11 +96,68 @@ def _read_events(r: BamRecord):
             np.concatenate(indel_l))
 
 
+_FLAT_CACHE: Dict[int, tuple] = {}
+
+
+def _flatten_records(records: List[BamRecord]):
+    """Flat per-record arrays for the native CIGAR walker (built once
+    per record list — the CLI calls calculate_pileup per 100kb chunk
+    over the same records)."""
+    key = id(records)
+    hit = _FLAT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = len(records)
+    rpos = np.array([r.pos for r in records], np.int64)
+    rflag = np.array([r.flag for r in records], np.int32)
+    rmapq = np.array([r.mapq for r in records], np.int32)
+    rrefid = np.array([r.ref_id for r in records], np.int32)
+    from itertools import chain
+    ncig = np.array([len(r.cigar) for r in records], np.int64)
+    cig_off = np.zeros(n + 1, np.int64)
+    np.cumsum(ncig, out=cig_off[1:])
+    total = int(cig_off[-1])
+    flatcig = np.fromiter(
+        chain.from_iterable(chain.from_iterable(r.cigar)
+                            for r in records),
+        np.int32, count=2 * total).reshape(-1, 2)
+    cig_op = np.ascontiguousarray(flatcig[:, 0])
+    cig_len = np.ascontiguousarray(flatcig[:, 1])
+    slen = np.array([len(r.seq) for r in records], np.int64)
+    seq_off = np.zeros(n + 1, np.int64)
+    np.cumsum(slen, out=seq_off[1:])
+    # one pass over the concatenated bases instead of 60k small calls
+    allseq = "".join(r.seq for r in records)
+    nt16 = NT16_TABLE[np.frombuffer(allseq.encode("latin-1"),
+                                     np.uint8)] if n \
+        else np.zeros(0, np.uint8)
+    qual = (np.concatenate([r.qual for r in records])
+            .astype(np.uint8) if n else np.zeros(0, np.uint8))
+    flat = (n, rpos, rflag, rmapq, rrefid, cig_off, cig_op, cig_len,
+            seq_off, nt16, qual)
+    _FLAT_CACHE.clear()                     # hold one list at a time
+    _FLAT_CACHE[key] = flat
+    return flat
+
+
 def calculate_pileup(records: List[BamRecord], chrom_id: int,
-                     start: int, end: int):
+                     start: int, end: int, device_out: bool = False):
     """Count matrix for one chunk: returns (majors, minors,
-    matrix (ncols, FEATLEN*NUM_HOMOP) int64)."""
+    matrix (ncols, FEATLEN*NUM_HOMOP) int64).  With device_out the
+    matrix stays a (computed, ready) device array — the reference's
+    kernel ROI likewise ends when the counts are materialized, before
+    any output formatting (medaka_counts.c:595-632)."""
+    from genarchbench_tpu import native
     span = end - start
+
+    res = native.pileup_events_native(
+        _flatten_records(records), chrom_id, start, end,
+        FILTER_FLAGS, NUM2COUNTBASE)
+    if res is not None:
+        covarr, present, pcat_n, jcat_n, fcat_n = res
+        return _assemble_pileup(covarr, present, [pcat_n], [jcat_n],
+                                [fcat_n], start, end, device_out)
+
     covarr = np.full(span, -1, np.int64)     # pos -> max_ins (-1: absent)
     present = np.zeros(span, bool)
     ev_p: List[np.ndarray] = []              # event columns, vectorized
@@ -144,6 +201,15 @@ def calculate_pileup(records: List[BamRecord], chrom_id: int,
             ev_j.append(jj[keep])
             ev_f.append(FEATLEN * qs.astype(np.int64) + fi[keep])
 
+    return _assemble_pileup(covarr, present, ev_p, ev_j, ev_f,
+                            start, end, device_out)
+
+
+def _assemble_pileup(covarr, present, ev_p, ev_j, ev_f, start, end,
+                     device_out=False):
+    """Counts matrix from the chunk's event arrays (shared by the
+    native and numpy walkers).  Event positions are chunk-relative."""
+    span = end - start
     if not present.any():
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                 np.zeros((0, FEATLEN * NUM_HOMOP), np.int64),
@@ -153,16 +219,25 @@ def calculate_pileup(records: List[BamRecord], chrom_id: int,
     max_ins = covarr[positions - start]
 
     # replicate the buffer growth bookkeeping (medaka_counts.c:389-396)
-    # so the "with buffer of N columns" trailer matches byte-for-byte
+    # so the "with buffer of N columns" trailer matches byte-for-byte;
+    # growth events are O(log) so only they loop in Python
     buffer_cols = 2 * (end - start)
-    n_cols = 0
-    for p, mi in zip(positions, max_ins):
-        n_cols += 1
-        if n_cols + mi > buffer_cols:
-            cols_per_pos = float(n_cols + mi) / (p - start)
-            buffer_cols = mi + max(2 * buffer_cols,
-                                   int(cols_per_pos) * (end - start))
-        n_cols += mi
+    cnt_all = max_ins + 1
+    cum = np.cumsum(cnt_all)                    # n_cols AFTER position i
+    need = cum - max_ins                        # n_cols at the check point
+    i0 = 0
+    while i0 < len(positions):
+        grow = np.flatnonzero(need[i0:] + max_ins[i0:] > buffer_cols)
+        if not len(grow):
+            break
+        g = i0 + int(grow[0])
+        n_cols = int(need[g])
+        mi = int(max_ins[g])
+        p = int(positions[g])
+        cols_per_pos = float(n_cols + mi) / (p - start)
+        buffer_cols = mi + max(2 * buffer_cols,
+                               int(cols_per_pos) * (end - start))
+        i0 = g + 1
     cnt = max_ins + 1
     col_start = np.cumsum(cnt) - cnt
     majors = np.repeat(positions, cnt)
@@ -180,12 +255,14 @@ def calculate_pileup(records: List[BamRecord], chrom_id: int,
     else:
         cols = np.zeros(0, np.int32)
         feats = np.zeros(0, np.int32)
-    mat = _scatter_counts(jnp.asarray(cols), jnp.asarray(feats), ncols)
+    mat = _scatter_counts(jnp.asarray(cols), jnp.asarray(feats), ncols,
+                          device_out)
     return (majors, minors.astype(np.int64),
-            np.asarray(mat, np.int64), buffer_cols)
+            mat if device_out else np.asarray(mat, np.int64),
+            buffer_cols)
 
 
-def _scatter_counts(cols, feats, ncols):
+def _scatter_counts(cols, feats, ncols, device_out=False):
     from functools import partial
 
     @partial(jax.jit, static_argnames=("size",))
@@ -201,6 +278,9 @@ def _scatter_counts(cols, feats, ncols):
     n = 1 << max(len(flat) - 1, 1).bit_length()
     flat = np.concatenate([flat, np.full(n - len(flat), psize, np.int32)])
     mat = impl(jnp.asarray(flat), size=psize)
+    if device_out:
+        return jax.block_until_ready(
+            mat[:size].reshape(max(ncols, 1) if size else 0, width))
     return np.asarray(mat[:size]).reshape(ncols, width)
 
 
@@ -251,9 +331,10 @@ def run(argv: Sequence[str]) -> int:
     results = []
     with roi:
         for s, e in chunks:
-            results.append(calculate_pileup(records, cid, s, e))
+            results.append(calculate_pileup(records, cid, s, e,
+                                            device_out=True))
     for majors, minors, mat, buffer_cols in results:
-        print_pileup_tsv(majors, minors, mat, sys.stdout)
+        print_pileup_tsv(majors, minors, np.asarray(mat), sys.stdout)
         print(f"pileup is length {len(majors)}, with buffer of "
               f"{buffer_cols} columns")
     roi.report()

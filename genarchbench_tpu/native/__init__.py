@@ -125,6 +125,11 @@ def readers_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint64), i64, i64, p64]
     lib.sais_u8.restype = ctypes.c_int
     lib.sais_u8.argtypes = [pu8, i64, i64, p64]
+    lib.pileup_events.restype = i64
+    lib.pileup_events.argtypes = [
+        i64, p64, p32, p32, p32, p64, p32, p32, p64, pu8, pu8,
+        ctypes.c_int32, i64, i64, ctypes.c_int32, p32,
+        p64, pu8, p64, p64, p64, i64]
     _READERS = lib
     return lib
 
@@ -245,6 +250,52 @@ def chain_native(path: str):
                     xs[w:w + n_i].copy(), ys[w:w + n_i].copy()))
         w += n_i
     return out
+
+
+def pileup_events_native(flat, chrom_id, start, end, filter_flags,
+                         num2countbase):
+    """(cov, present, ev_p, ev_j, ev_f) for one pileup chunk via the
+    native CIGAR walker; None when the library is unavailable.  `flat`
+    is the tuple from kernels.pileup._flatten_records."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    (n, rpos, rflag, rmapq, rrefid, cig_off, cig_op, cig_len,
+     seq_off, nt16, qual) = flat
+    span = end - start
+    cov = np.full(span, -1, np.int64)
+    present = np.zeros(span, np.uint8)
+    n2c = np.ascontiguousarray(num2countbase, np.int32)
+    args0 = (n, _as_ptr(rpos, ctypes.c_int64),
+             _as_ptr(rflag, ctypes.c_int32),
+             _as_ptr(rmapq, ctypes.c_int32),
+             _as_ptr(rrefid, ctypes.c_int32),
+             _as_ptr(cig_off, ctypes.c_int64),
+             _as_ptr(cig_op, ctypes.c_int32),
+             _as_ptr(cig_len, ctypes.c_int32),
+             _as_ptr(seq_off, ctypes.c_int64),
+             _as_ptr(nt16, ctypes.c_uint8),
+             _as_ptr(qual, ctypes.c_uint8),
+             chrom_id, start, end, filter_flags,
+             _as_ptr(n2c, ctypes.c_int32),
+             _as_ptr(cov, ctypes.c_int64),
+             _as_ptr(present, ctypes.c_uint8))
+    zero = np.zeros(1, np.int64)
+    m = lib.pileup_events(*args0, _as_ptr(zero, ctypes.c_int64),
+                          _as_ptr(zero, ctypes.c_int64),
+                          _as_ptr(zero, ctypes.c_int64), 0)
+    cov[:] = -1
+    present[:] = 0
+    ev_p = np.empty(max(m, 1), np.int64)
+    ev_j = np.empty(max(m, 1), np.int64)
+    ev_f = np.empty(max(m, 1), np.int64)
+    m2 = lib.pileup_events(*args0, _as_ptr(ev_p, ctypes.c_int64),
+                           _as_ptr(ev_j, ctypes.c_int64),
+                           _as_ptr(ev_f, ctypes.c_int64), max(m, 1))
+    if m2 != m:
+        return None
+    return cov, present.astype(bool), ev_p[:m], ev_j[:m], ev_f[:m]
 
 
 def sais_native(codes):
