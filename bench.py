@@ -159,6 +159,37 @@ def gen_inputs():
                            + "".join(seq) + "\n")
         poa.write_text("".join(out))
     paths["poa"] = poa
+
+    # abea: synthetic squiggles from the reference pore model (dumped
+    # by build_oracles.sh); one seq_%d.txt/raw_%d.txt pair per read for
+    # the harness bench mode + one npz both sides load
+    abea_dir = TMP / "bench_abea"
+    if not (abea_dir / "reads.npz").exists():
+        model_txt = RB / "r94_model.txt"
+        if not model_txt.exists():
+            build_ref("abea_harness")
+        sys.path.insert(0, str(REPO))
+        from genarchbench_tpu.kernels.abea import kmer_ranks, load_model
+        model = load_model(str(model_txt))
+        abea_dir.mkdir(exist_ok=True)
+        rng_a = np.random.default_rng(109)
+        n_reads, seqlen = 256, 2000
+        seqs, sigs = [], []
+        for i in range(n_reads):
+            seq = "".join("ACGT"[c] for c in rng_a.integers(0, 4, seqlen))
+            levels = model["level_mean"][kmer_ranks(seq)]
+            reps = rng_a.integers(4, 14, len(levels))
+            sig = (np.repeat(levels, reps)
+                   + rng_a.normal(0, 0.8, int(reps.sum()))
+                   ).astype(np.float32)
+            (abea_dir / f"seq_{i}.txt").write_text(seq + "\n")
+            np.savetxt(abea_dir / f"raw_{i}.txt", sig, fmt="%.9g")
+            seqs.append(seq)
+            sigs.append(sig)
+        np.savez(abea_dir / "reads.npz",
+                 seqs=np.array(seqs),
+                 **{f"sig_{i}": s for i, s in enumerate(sigs)})
+    paths["abea"] = abea_dir
     paths["size_tag"] = "v2"
     return paths
 
@@ -274,6 +305,14 @@ def ref_time(kernel: str, paths, nthreads: int) -> float:
             capture_output=True, text=True, timeout=1800, env=env)
         secs = _grep_time(r"Kernel runtime: ([0-9.]+)",
                           r.stderr + r.stdout)
+    elif kernel == "abea":
+        n_reads = len(np.load(paths["abea"] / "reads.npz")["seqs"])
+        r = subprocess.run(
+            [str(build_ref("abea_harness")), "bench",
+             str(paths["abea"]), str(n_reads), str(nthreads)],
+            capture_output=True, text=True, timeout=1800, env=env)
+        secs = _grep_time(r"Data processing time: ([0-9.]+) sec",
+                          r.stderr + r.stdout)
     else:
         raise KeyError(kernel)
     cache[key] = secs
@@ -340,6 +379,23 @@ def measure_child(kernel: str, platform: str):
         t0 = time.perf_counter()
         consensus_for_batches(batches, engine)
         dt = time.perf_counter() - t0
+    elif kernel == "abea":
+        from genarchbench_tpu.kernels.abea import (align_batch,
+                                                   estimate_scalings,
+                                                   get_events, load_model)
+        model = load_model(str(RB / "r94_model.txt"))
+        z = np.load(paths["abea"] / "reads.npz")
+        seqs = [str(s) for s in z["seqs"]]
+        sigs = [z[f"sig_{i}"] for i in range(len(seqs))]
+
+        def pipeline():
+            ets = [get_events(s) for s in sigs]
+            return align_batch(seqs, ets, model)
+
+        pipeline()                       # warm compile
+        t0 = time.perf_counter()
+        pipeline()
+        dt = time.perf_counter() - t0
     elif kernel in ("chain", "fmi", "pileup", "dbg"):
         import contextlib
         import io as io_mod
@@ -401,7 +457,7 @@ def main() -> None:
     nthreads = os.cpu_count() or 1
     kernels = os.environ.get(
         "BENCH_KERNELS",
-        "kmer,bpm,fastchain,bsw,wfa,poa,chain,fmi,pileup,dbg"
+        "kmer,bpm,fastchain,bsw,wfa,poa,chain,fmi,pileup,dbg,abea"
     ).split(",")
 
     speedups = {}

@@ -288,15 +288,20 @@ def _round_up_pow2(v: int, lo: int = 16) -> int:
     return p
 
 
-def _convex_dp_codes(prof, preds, npred, H0col, F0col, O0col,
-                     H0row, E0row, Q0row, endmask, Wlen,
+def _convex_dp_codes(node_ch, seq, preds, npred, H0col, F0col, O0col,
+                     endmask, Wlen,
                      R, W, P, m, n, g, e, q, c):
     """DP over R ranks x W+1 columns for ONE window, emitting packed
     traceback CODE PLANES instead of returning the matrices.
 
-    prof (R, W+1) int32 match scores per rank row; preds (R, P)
-    predecessor ROW indices (rank+1; 0 = virtual row); npred (R,);
-    *0col (R+1,) column-0 boundary; *0row (W+1,) row-0 boundary;
+    node_ch (R,) int32 rank-row characters and seq (W+1,) int32 query
+    characters (one pad column at j=0): the (R, W+1) match-score
+    profile is derived ON DEVICE one row at a time — shipping the
+    materialized profile was 269 MB/round over the host link, vs 0.5 MB
+    for the characters (the round-3 poa wall was this transfer, not
+    compute).  preds (R, P) predecessor ROW indices (rank+1; 0 =
+    virtual row); npred (R,); *0col (R+1,) column-0 boundary; the row-0
+    boundary (H/E/Q0row) is the closed-form gap series, computed here;
     endmask (R,) rank has no out_edges; Wlen actual query length.
 
     plane1 per cell: bit0 dfound | 1-11 diag pred row | 12 ufound |
@@ -311,6 +316,12 @@ def _convex_dp_codes(prof, preds, npred, H0col, F0col, O0col,
     i32 = jnp.int32
     u32 = jnp.uint32
     W1 = W + 1
+    # row-0 boundary series (spoa initialize, sisd_alignment_engine.cpp
+    # :116-160): E0row[j] = g + (j-1)e, Q0row[j] = q + (j-1)c, H = max
+    jr = jnp.arange(W1, dtype=i32)
+    E0row = jnp.where(jr == 0, 0, g + (jr - 1) * e)
+    Q0row = jnp.where(jr == 0, 0, q + (jr - 1) * c)
+    H0row = jnp.maximum(E0row, Q0row).at[0].set(0)
     Hm = jnp.full((R + 1, W1), NEG, i32).at[0].set(H0row)
     Fm = jnp.full((R + 1, W1), NEG, i32)
     Om = jnp.full((R + 1, W1), NEG, i32)
@@ -357,7 +368,8 @@ def _convex_dp_codes(prof, preds, npred, H0col, F0col, O0col,
         O_row = jnp.max(jnp.maximum(Hp + q, Op + c) + big, axis=0)
         Hp_sh = jnp.concatenate(
             [jnp.full((P, 1), NEG, i32), Hp[:, :-1]], axis=1)
-        Hdiag = jnp.max(Hp_sh + big, axis=0) + prof[r]
+        prow = jnp.where(seq == node_ch[r], m, n)            # (W1,)
+        Hdiag = jnp.max(Hp_sh + big, axis=0) + prow
         pre = jnp.maximum(Hdiag, jnp.maximum(F_row, O_row))
         pre = pre.at[0].set(Hm[i, 0])                         # col-0 boundary
 
@@ -397,8 +409,17 @@ def _convex_dp_codes(prof, preds, npred, H0col, F0col, O0col,
         Q_row = csc[:, 2]
 
         # ---- traceback code planes for row i ----
+        # The barrier pins the DP row values before the code-plane
+        # bit-packing: without it, XLA's fused TPU kernel for the
+        # packing expression produces scattered zero cells at wide
+        # batch (observed G>=129, W1=513 — plane1 lost dfound/left
+        # bits for ~3k cells while plane2 and the H scores stayed
+        # correct; CPU, G=1, and the barriered form all agree).
+        (H_row, E_row, Q_row, F_row, O_row, Hp, Fp, Op, Hp_sh, prow) = \
+            lax.optimization_barrier(
+                (H_row, E_row, Q_row, F_row, O_row, Hp, Fp, Op, Hp_sh,
+                 prow))
         preds_r = pidx
-        prow = prof[r]
         zb = jnp.zeros((W1,), bool)
         zi = jnp.zeros((W1,), i32)
         dfound, dpi = zb, zi
@@ -453,19 +474,22 @@ def _convex_dp_codes(prof, preds, npred, H0col, F0col, O0col,
 
 @partial(jax.jit, static_argnames=("R", "W", "P", "m", "n", "g", "e",
                                    "q", "c", "MAXSTEP"))
-def _poa_align_device(prof, preds, npred, H0col, F0col, O0col,
-                      H0row, E0row, Q0row, endmask, Wlen, active,
+def _poa_align_device(node_ch, seq, preds, npred, H0col, F0col, O0col,
+                      endmask, Wlen, active,
                       R, W, P, m, n, g, e, q, c, MAXSTEP):
     """Batched (vmapped) DP + lock-step traceback walk over G windows.
-    Returns (outi, outj) int16 (G, MAXSTEP): per step the consumed node
-    ROW (-1: none) and query index (-1: none); -2 marks walk end."""
+    Returns one packed uint32 (G, MAXSTEP) plane: per step the consumed
+    node ROW (-1: none) in the low half and query index (-1: none) in
+    the high half, -2 marking walk end — ONE device->host transfer (the
+    remote-tunnel link has ~10 ms/call latency and single-digit MB/s
+    d2h, so transfer count and bytes both matter)."""
     plane1, plane2, start_i = jax.vmap(
         partial(_convex_dp_codes, R=R, W=W, P=P, m=m, n=n, g=g, e=e,
-                q=q, c=c))(prof, preds, npred, H0col, F0col, O0col,
-                           H0row, E0row, Q0row, endmask, Wlen)
+                q=q, c=c))(node_ch, seq, preds, npred, H0col, F0col,
+                           O0col, endmask, Wlen)
 
     i32 = jnp.int32
-    G = prof.shape[0]
+    G = node_ch.shape[0]
     W1 = W + 1
     p1f = plane1.reshape(G, (R + 1) * W1)
     p2f = plane2.reshape(G, (R + 1) * W1)
@@ -529,7 +553,8 @@ def _poa_align_device(prof, preds, npred, H0col, F0col, O0col,
     carry = (start_i, Wlen, jnp.zeros((G,), i32), ~active,
              jnp.asarray(0, i32), outi0, outj0)
     (_, _, _, _, _, outi, outj) = lax.while_loop(cond, step, carry)
-    return outi, outj
+    return (outi.astype(jnp.int32) & 0xFFFF) | (
+        outj.astype(jnp.int32) << 16)
 
 
 class ConvexNWEngine:
@@ -570,7 +595,8 @@ class ConvexNWEngine:
         W1 = Wpad + 1
         Gn = len(live)
 
-        prof = np.full((Gn, Rpad, W1), n_, np.int32)
+        node_chs = np.full((Gn, Rpad), -2, np.int32)  # never matches seq
+        seq_arrs = np.full((Gn, W1), -1, np.int32)    # col 0 + pads
         preds = np.zeros((Gn, Rpad, Ppad), np.int32)
         npred = np.ones((Gn, Rpad), np.int32)
         O0 = np.full((Gn, Rpad + 1), NEG, np.int64)
@@ -587,13 +613,10 @@ class ConvexNWEngine:
             W = len(seq)
             Wlen[gi] = W
             id_to_rank = {nid: r for r, nid in enumerate(rank)}
-            seq_arr = np.frombuffer(seq.encode(), np.uint8)
-            node_ch = np.frombuffer(
+            seq_arrs[gi, 1:W + 1] = np.frombuffer(seq.encode(), np.uint8)
+            node_chs[gi, :R] = np.frombuffer(
                 "".join(graph.decoder[graph.nodes[nid].code]
                         for nid in rank).encode(), np.uint8)
-            prof[gi, :R, 1:W + 1] = np.where(
-                node_ch[:, None] == seq_arr[None, :], m_, n_)
-            prof[gi, :, 0] = 0
             O0[gi, 0] = 0
             F0[gi, 0] = 0
             for r, nid in enumerate(rank):
@@ -617,31 +640,24 @@ class ConvexNWEngine:
 
         H0col = np.maximum(O0, F0)
         H0col[:, 0] = 0
-        E0row = np.full((Gn, W1), NEG, np.int64)
-        Q0row = np.full((Gn, W1), NEG, np.int64)
-        E0row[:, 1:] = g_ + np.arange(W1 - 1) * e_
-        Q0row[:, 1:] = q_ + np.arange(W1 - 1) * c_
-        E0row[:, 0] = 0
-        Q0row[:, 0] = 0
-        H0row = np.maximum(E0row, Q0row)
-        H0row[:, 0] = 0
-        # padded columns beyond W keep extending (harmless, never read)
 
         MAXSTEP = Rpad + W1 + 4
-        outi, outj = _poa_align_device(
-            jnp.asarray(prof), jnp.asarray(preds), jnp.asarray(npred),
+        packed = _poa_align_device(
+            jnp.asarray(node_chs), jnp.asarray(seq_arrs),
+            jnp.asarray(preds), jnp.asarray(npred),
             jnp.asarray(H0col.astype(np.int32)),
             jnp.asarray(F0.astype(np.int32)),
             jnp.asarray(O0.astype(np.int32)),
-            jnp.asarray(H0row.astype(np.int32)),
-            jnp.asarray(E0row.astype(np.int32)),
-            jnp.asarray(Q0row.astype(np.int32)),
             jnp.asarray(endmask), jnp.asarray(Wlen),
             jnp.ones(Gn, bool),
             R=Rpad, W=Wpad, P=Ppad, m=m_, n=n_, g=g_, e=e_, q=q_,
             c=c_, MAXSTEP=MAXSTEP)
-        outi = np.asarray(outi)
-        outj = np.asarray(outj)
+        halves = np.ascontiguousarray(np.asarray(packed)) \
+            .view(np.int16).reshape(Gn, MAXSTEP, 2)
+        if sys.byteorder == "little":
+            outi, outj = halves[:, :, 0], halves[:, :, 1]
+        else:
+            outi, outj = halves[:, :, 1], halves[:, :, 0]
 
         for gi, w in enumerate(live):
             rank = ranks[gi]

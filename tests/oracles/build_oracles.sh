@@ -25,12 +25,13 @@ mkdir -p $RB
 HTS=$RB/htslib-1.9
 [ -f $RB/pileup_ref ] || gcc -O2 -fopenmp -std=c99 -DPRINT_OUTPUT=1 -Dsam_hdr_t=bam_hdr_t -Dsam_hdr_destroy=bam_hdr_destroy -I $HTS -I $REF/pileup/src -o $RB/pileup_ref $REF/pileup/src/medaka_counts.c $REF/pileup/src/medaka_bamiter.c $REF/pileup/src/medaka_common.c $HTS/libhts.a -ldeflate -lz -lpthread -lm
 [ -f $RB/dbg_ref ] || g++ -O2 -fopenmp -std=c++11 -I $HTS -I $REF/dbg/src -o $RB/dbg_ref $REF/dbg/src/debruijn.cpp $REF/dbg/src/common.cpp $HTS/libhts.a -ldeflate -lz -lpthread -lm
-# abea compute-core harness (hdf5 stubbed)
-[ -f $RB/abea_harness ] || {
+# abea compute-core harness (hdf5 stubbed); rebuilt when the harness
+# source is newer than the binary (e.g. after adding a mode)
+[ -f $RB/abea_harness ] && [ $RB/abea_harness -nt tests/oracles/abea_harness.c ] || {
   mkdir -p $RB/abea_build && cp tests/oracles/hdf5_stub.h $RB/abea_build/hdf5.h
   for f in align events model; do g++ -O2 -I $RB/abea_build -I $REF/abea/src -I $HTS -c $REF/abea/src/$f.c -o $RB/abea_build/$f.o; done
-  g++ -O2 -fpermissive -I $RB/abea_build -I $REF/abea/src -I $HTS -c tests/oracles/abea_harness.c -o $RB/abea_build/harness.o
-  g++ -o $RB/abea_harness $RB/abea_build/harness.o $RB/abea_build/align.o $RB/abea_build/events.o $RB/abea_build/model.o -lm
+  g++ -O2 -fopenmp -fpermissive -I $RB/abea_build -I $REF/abea/src -I $HTS -c tests/oracles/abea_harness.c -o $RB/abea_build/harness.o
+  g++ -fopenmp -o $RB/abea_harness $RB/abea_build/harness.o $RB/abea_build/align.o $RB/abea_build/events.o $RB/abea_build/model.o -lm
 }
 [ -f $RB/r94_model.txt ] || $RB/abea_harness model > $RB/r94_model.txt
 # fmi oracle (bwa-mem2 x86_64 tree)
