@@ -198,29 +198,39 @@ def get_events(raw: np.ndarray) -> np.ndarray:
     np.cumsum((raw * raw).astype(np.float64), out=sumsqs[1:])
     t1 = compute_tstat(sums, sumsqs, n, WIN1)
     t2 = compute_tstat(sums, sumsqs, n, WIN2)
-    peaks = _peak_detect(t1, t2)
+    from genarchbench_tpu import native
+    nat = native.peak_detect_native(
+        np.ascontiguousarray(t1), np.ascontiguousarray(t2),
+        THRESH1, THRESH2, WIN1, WIN2, PEAK_HEIGHT)
+    if nat is not None:
+        peaks = np.zeros(n, np.int64)
+        peaks[:nat[1]] = nat[0][:nat[1]]
+    else:
+        peaks = _peak_detect(t1, t2)
 
     # create_events (events.c:455-500): k = #valid peaks + 1 events;
     # event 0 = [0, peaks[0]), event i = [peaks[i-1], peaks[i]),
-    # last = [peaks[k-2], nsample)
+    # last = [peaks[k-2], nsample); the per-event mean/stdv math is
+    # float32 like the C (vectorized, bit-identical to the loop form)
     nvalid = int(((peaks > 0) & (peaks < n)).sum())
     k = nvalid + 1
     plist = peaks[:max(k - 1, 1)]
-    ev = np.zeros((k, 4), np.float64)
     if k == 1:
         starts = np.array([0], np.int64)
         ends = np.array([n], np.int64)
     else:
         starts = np.concatenate([[0], plist[:k - 1]])[:k]
         ends = np.concatenate([plist[:k - 1], [n]])[:k]
-    for j in range(k):
-        s, e = int(starts[j]), int(ends[j])
-        length = np.float32(e - s)
-        mean = np.float32(sums[e] - sums[s]) / length
-        deltasqr = np.float32(sumsqs[e] - sumsqs[s])
-        var = deltasqr / length - mean * mean
-        ev[j] = (s, length, mean, np.sqrt(np.maximum(var, 0,
-                                                     dtype=np.float32)))
+    length = (ends - starts).astype(np.float32)
+    mean = (sums[ends] - sums[starts]).astype(np.float32) / length
+    deltasqr = (sumsqs[ends] - sumsqs[starts]).astype(np.float32)
+    var = deltasqr / length - mean * mean
+    stdv = np.sqrt(np.maximum(var, np.float32(0)))
+    ev = np.zeros((k, 4), np.float64)
+    ev[:, 0] = starts
+    ev[:, 1] = length
+    ev[:, 2] = mean
+    ev[:, 3] = stdv
     return ev
 
 
@@ -259,8 +269,48 @@ def _band_scan_device(ranks, ev_mean, n_events, n_kmers,
                       jnp.full((B,), -1 - HALF_BW, i32)], axis=1)
     bll1 = bll0 + jnp.array([[1, 0]], i32)
 
+    c32 = lambda v: v.astype(f32)
+    c64 = lambda v: v.astype(f64)
+    # per-kmer emission params hoisted out of the scan (each C float32
+    # op emulated as an exact f64 op + f32 cast — FMA-immune):
+    # log_probability_match_r9 (align.c:109-144)
+    kr_all = jnp.clip(ranks, 0, 4095)
+    gp_stdv_all = jnp.take(lsd, kr_all, axis=0)          # (B, NK) f64
+    gp_lstdv_all = jnp.take(llsd, kr_all, axis=0)
+    t_all = c32(c64(scale[:, None]) * jnp.take(lm, kr_all, axis=0))
+    gp_mean_all = c32(c64(t_all) + c64(shift[:, None]))  # (B, NK) f32
+    t1_all = c32(jnp.float64(np.float32(-0.918938)) - gp_lstdv_all)
+
+    NINF = jnp.float32(-jnp.inf)
+
+    def sh_l(m, fill):      # m[:, j+1]
+        return jnp.concatenate(
+            [m[:, 1:], jnp.full((B, 1), fill, m.dtype)], axis=1)
+
+    def sh_r(m, fill):      # m[:, j-1]
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, m.dtype), m[:, :-1]], axis=1)
+
+    def win_k(arr, base):
+        """(B, W) window arr[b, clip(base[b]+j, 0, NKdim-1)]."""
+        idx = jnp.clip(base[:, None] + offs, 0, arr.shape[1] - 1)
+        return jnp.take_along_axis(arr, idx, axis=1)
+
+    def win_e(arr, base):
+        """(B, W) window arr[b, clip(base[b]-j, 0, NEdim-1)]."""
+        idx = jnp.clip(base[:, None] - offs, 0, arr.shape[1] - 1)
+        return jnp.take_along_axis(arr, idx, axis=1)
+
     def step2(carry, b):
-        prev, prev2, bll_e, bll_k, bll2_e, bll2_k = carry
+        """One Suzuki-Kasahara band advance.  The band only ever moves
+        RIGHT (k+1) or DOWN (e+1), so every neighbour-band fetch is the
+        previous band shifted by 0/±1 columns (selected per lane) and
+        the kmer/event-indexed model windows slide by ≤1 — the former
+        per-step (B, W) gathers (6 of them, the scan's entire cost on
+        TPU) are now shifts plus one (B, 1) incoming-element gather per
+        sliding window."""
+        (prev, prev2, bll_e, bll_k, bll2_e, bll2_k,
+         em_w, gpm_w, gps_w, t1_w) = carry
         ll = prev[:, 0]
         ur = prev[:, W - 1]
         ll_ob = jnp.isinf(ll)
@@ -268,6 +318,27 @@ def _band_scan_device(ranks, ev_mean, n_events, n_kmers,
         right = jnp.where(ll_ob & ur_ob, (b % 2) == 1, ll < ur)
         e2 = jnp.where(right, bll_e, bll_e + 1)
         k2 = jnp.where(right, bll_k + 1, bll_k)
+        rightc = right[:, None]
+
+        # slide the kmer-indexed windows (dk = 1 on right moves)
+        def slide_k(w_, arr):
+            inc = jnp.take_along_axis(
+                arr, jnp.clip(k2 + W - 1, 0, arr.shape[1] - 1)[:, None],
+                axis=1)
+            shifted = jnp.concatenate([w_[:, 1:], inc], axis=1)
+            return jnp.where(rightc, shifted, w_)
+
+        # slide the event-indexed window (de = 1 on down moves)
+        def slide_e(w_, arr):
+            inc = jnp.take_along_axis(
+                arr, jnp.clip(e2, 0, arr.shape[1] - 1)[:, None], axis=1)
+            shifted = jnp.concatenate([inc, w_[:, :-1]], axis=1)
+            return jnp.where(rightc, w_, shifted)
+
+        em_w = slide_e(em_w, ev_mean)
+        gpm_w = slide_k(gpm_w, gp_mean_all)
+        gps_w = slide_k(gps_w, gp_stdv_all)
+        t1_w = slide_k(t1_w, t1_all)
 
         band = jnp.full((B, W), -jnp.inf, f32)
         trace = jnp.zeros((B, W), jnp.uint8)
@@ -289,42 +360,23 @@ def _band_scan_device(ranks, ev_mean, n_events, n_kmers,
         max_off = jnp.minimum(jnp.minimum(kmer_max, event_max), W)
         inrange = (offs >= min_off[:, None]) & (offs < max_off[:, None])
 
-        event_idx = e2[:, None] - offs
-        kmer_idx = k2[:, None] + offs
-        kr = jnp.take_along_axis(
-            ranks, jnp.clip(kmer_idx, 0, NK - 1), axis=1)
-        em = jnp.take_along_axis(
-            ev_mean, jnp.clip(event_idx, 0, NE - 1), axis=1)
+        # neighbour-band fetches as shift-selects:
+        # off_up   = offs + 1 - de  -> right: prev[j+1], down: prev[j]
+        # off_left = offs - 1 + dk  -> right: prev[j],   down: prev[j-1]
+        # off_diag = offs + dk + dk_prev - 1 (prev2), dk_prev from blls
+        up = jnp.where(rightc, sh_l(prev, NINF), prev)
+        left = jnp.where(rightc, prev, sh_r(prev, NINF))
+        dk_prev = bll_k - bll2_k                       # (B,) 0/1
+        dshift = jnp.where(right, 1, 0) + dk_prev - 1  # -1/0/1
+        diag = jnp.where((dshift == 1)[:, None], sh_l(prev2, NINF),
+               jnp.where((dshift == -1)[:, None], sh_r(prev2, NINF),
+                         prev2))
 
-        off_up = bll_e[:, None] - (event_idx - 1)
-        off_left = (kmer_idx - 1) - bll_k[:, None]
-        off_diag = (kmer_idx - 1) - bll2_k[:, None]
-
-        def fetch(mat, off):
-            ok = (off >= 0) & (off < W)
-            v = jnp.take_along_axis(mat, jnp.clip(off, 0, W - 1), axis=1)
-            return jnp.where(ok, v, -jnp.inf)
-
-        up = fetch(prev, off_up)
-        left = fetch(prev, off_left)
-        diag = fetch(prev2, off_diag)
-
-        # log_probability_match_r9 (align.c:109-144): each C float32
-        # operation is emulated as an exact float64 op + float32 cast,
-        # which reproduces IEEE f32 mult/add exactly and is immune to
-        # XLA's FMA contraction (which otherwise flips trace ties)
-        c32 = lambda v: v.astype(f32)
-        c64 = lambda v: v.astype(f64)
-        gp_stdv = jnp.take(lsd, kr)
-        gp_lstdv = jnp.take(llsd, kr)
-        t = c32(c64(scale[:, None]) * c64(jnp.take(lm, kr)))
-        gp_mean = c32(c64(t) + c64(shift[:, None]))
-        d_ = c32(c64(em) - c64(gp_mean))
-        a = c32(c64(d_) / c64(gp_stdv))
+        d_ = em_w - gpm_w                              # f32 - f32
+        a = c32(c64(d_) / gps_w)
         t2 = c32(c64(jnp.float32(-0.5)) * c64(a))
         t2 = c32(c64(t2) * c64(a))
-        t1 = c32(jnp.float64(np.float32(-0.918938)) - c64(gp_lstdv))
-        lp_em = c32(c64(t1) + c64(t2))
+        lp_em = c32(c64(t1_w) + c64(t2))
 
         sd = (diag.astype(f64) + lp_step[:, None]
               + lp_em.astype(f64)).astype(f32)
@@ -342,18 +394,112 @@ def _band_scan_device(ranks, ev_mean, n_events, n_kmers,
         band = jnp.where(inrange, mx3, band)
         trace = jnp.where(inrange, fr, trace)
 
-        carry2 = (band, prev, e2, k2, bll_e, bll_k)
+        carry2 = (band, prev, e2, k2, bll_e, bll_k,
+                  em_w, gpm_w, gps_w, t1_w)
         return carry2, (band, trace, jnp.stack([e2, k2], axis=1))
 
     bs = jnp.arange(2, NB, dtype=i32)
     carry0 = (band1, band0, bll1[:, 0], bll1[:, 1],
-              bll0[:, 0], bll0[:, 1])
+              bll0[:, 0], bll0[:, 1],
+              win_e(ev_mean, bll1[:, 0]),
+              win_k(gp_mean_all, bll1[:, 1]),
+              win_k(gp_stdv_all, bll1[:, 1]),
+              win_k(t1_all, bll1[:, 1]))
     _, (bands, traces, blls) = lax.scan(step2, carry0, bs)
     bands = jnp.concatenate([band0[None], band1[None], bands], axis=0)
     traces = jnp.concatenate([jnp.zeros((2, B, W), jnp.uint8).at[
         1, :, HALF_BW].set(1), traces], axis=0)
     blls = jnp.concatenate([bll0[None], bll1[None], blls], axis=0)
     return bands, traces, blls
+
+
+@partial(jax.jit, static_argnames=("NB", "NE", "NK", "T"))
+def _abea_backtrace_device(bands, traces, blls, ranks, ev_mean,
+                           n_ev, n_km, shifts, scales, lm, lsd, llsd,
+                           lp_trim, NB, NE, NK, T):
+    """Lock-step device backtrace (align.c:408-545): start-cell argmax
+    over the last-event diagonal, trace-code walk, and the emission-QC
+    sums — so only the ~(B, T) uint8 trace codes cross the d2h link
+    (the (NB, B, W) band/trace downloads were ~640 MB/batch, the entire
+    abea wall through the tunnel; the band matrices now never leave
+    HBM).  Every f32 emission op replicates the host/reference float
+    semantics as an f64 op + f32 cast (FMA-immune, exact)."""
+    f32, f64, i32 = jnp.float32, jnp.float64, jnp.int32
+    W = BANDWIDTH
+    B = ranks.shape[0]
+    lane = jnp.arange(B, dtype=i32)
+    bands_f = bands.ravel()
+    traces_f = traces.ravel()
+    bll_e_f = blls[:, :, 0].ravel()                  # (NB*B,)
+
+    c32 = lambda v: v.astype(f32)
+    c64 = lambda v: v.astype(f64)
+
+    # start selection (align.c:430-447): ei maximizing
+    # bands[ei+nk+1][bll - ei] + (ne - ei) * lp_trim, first max wins
+    eis = jnp.arange(NE, dtype=i32)[None, :]         # (1, NE)
+    bi_s = eis + n_km[:, None] + 1                   # (B, NE)
+    bi_c = jnp.clip(bi_s, 0, NB - 1)
+    bll_s = jnp.take(bll_e_f, bi_c * B + lane[:, None])
+    off_s = bll_s - eis
+    ok_s = (off_s >= 0) & (off_s < W) & (eis < n_ev[:, None])
+    val_s = jnp.take(bands_f, (bi_c * B + lane[:, None]) * W
+                     + jnp.clip(off_s, 0, W - 1))
+    score_s = val_s + ((n_ev[:, None] - eis).astype(f64)
+                       * lp_trim[:, None]).astype(f32)
+    score_s = jnp.where(ok_s, score_s, -jnp.inf)
+    e0 = jnp.argmax(score_s, axis=1).astype(i32)     # first max = host >
+
+    fr_out0 = jnp.full((B, T), 255, jnp.uint8)
+
+    def step(carry):
+        (ck, ce, gap, mgap, n_al, sum_em, k_last, fin, t, fr_out) = carry
+        act = ~fin & (ck >= 0) & (ce >= 0)
+        k_last = jnp.where(act, ck, k_last)
+        bi = jnp.clip(ce + ck + 2, 0, NB - 1)
+        off = jnp.take(bll_e_f, bi * B + lane) - ce
+        fr = jnp.take(traces_f, (bi * B + lane) * W
+                      + jnp.clip(off, 0, W - 1)).astype(i32)
+
+        kr = jnp.take_along_axis(
+            ranks, jnp.clip(ck, 0, NK - 1)[:, None], axis=1)[:, 0]
+        em = jnp.take_along_axis(
+            ev_mean, jnp.clip(ce, 0, ev_mean.shape[1] - 1)[:, None],
+            axis=1)[:, 0]
+        gp_mean = c32(c64(scales) * jnp.take(lm, kr) + c64(shifts))
+        d_ = em - gp_mean                            # f32 - f32
+        a = c32(c64(d_) / jnp.take(lsd, kr))
+        e_term = (c64(jnp.float32(-0.918938)) - jnp.take(llsd, kr)
+                  + c64(c32(c32(jnp.float32(-0.5) * a) * a)))
+        sum_em = jnp.where(act, sum_em + e_term, sum_em)
+        n_al = jnp.where(act, n_al + 1, n_al)
+
+        fr_out = lax.dynamic_update_slice(
+            fr_out, jnp.where(act, fr, 255).astype(jnp.uint8)[:, None],
+            (jnp.asarray(0, i32), t))     # x64 mode: both indices i32
+
+        dk = act & (fr != 1)
+        de = act & (fr != 2)
+        is_skip = act & (fr == 2)
+        gap = jnp.where(is_skip, gap + 1, jnp.where(act, 0, gap))
+        mgap = jnp.maximum(mgap, gap)
+        ck = jnp.where(dk, ck - 1, ck)
+        ce = jnp.where(de, ce - 1, ce)
+        fin = fin | (~act) | (ck < 0) | (ce < 0)
+        return (ck, ce, gap, mgap, n_al, sum_em, k_last, fin, t + 1,
+                fr_out)
+
+    def cond(carry):
+        fin, t = carry[7], carry[8]
+        return (~jnp.all(fin)) & (t < T)
+
+    z = jnp.zeros((B,), i32)
+    carry = (n_km - 1, e0, z, z, z, jnp.zeros((B,), f64),
+             jnp.full((B,), -1, i32),
+             (n_km - 1 < 0) | (e0 < 0), jnp.asarray(0, i32), fr_out0)
+    (_, _, _, mgap, n_al, sum_em, k_last, _, _, fr_out) = \
+        lax.while_loop(cond, step, carry)
+    return fr_out, e0, n_al, sum_em, mgap, k_last
 
 
 def align_batch(seqs: List[str], event_tables: List[np.ndarray],
@@ -402,7 +548,7 @@ def align_batch(seqs: List[str], event_tables: List[np.ndarray],
         np.ascontiguousarray(lps[:, 0]), np.ascontiguousarray(lps[:, 1]),
         np.ascontiguousarray(lps[:, 2]), np.ascontiguousarray(lps[:, 3]))
     with jax.enable_x64():
-        out = _band_scan_device(
+        bands, traces, blls = _band_scan_device(
             jnp.asarray(ranks_j), jnp.asarray(ev_mean_j),
             jnp.asarray(n_ev_j), jnp.asarray(n_km_j),
             jnp.asarray(shifts_j), jnp.asarray(scales_j),
@@ -412,14 +558,37 @@ def align_batch(seqs: List[str], event_tables: List[np.ndarray],
             jnp.asarray(lp0), jnp.asarray(lp1),
             jnp.asarray(lp2), jnp.asarray(lp3),
             NB=NB, NE=NE, NK=NK)
-    bands, traces, blls = (np.asarray(x) for x in out)
+        # backtrace on device too: bands/traces stay in HBM, only the
+        # (B, T) trace codes + per-lane QC scalars come back
+        T = NB
+        fr_out, e0, n_al, sum_em, mgap, k_last = (
+            np.asarray(x) for x in _abea_backtrace_device(
+                bands, traces, blls, jnp.asarray(ranks_j),
+                jnp.asarray(ev_mean_j), jnp.asarray(n_ev_j),
+                jnp.asarray(n_km_j), jnp.asarray(shifts_j),
+                jnp.asarray(scales_j),
+                jnp.asarray(model["level_mean"]),
+                jnp.asarray(model["level_stdv"]),
+                jnp.asarray(model["level_log_stdv"]),
+                jnp.asarray(lp3), NB=NB, NE=NE, NK=NK, T=T))
 
     results = []
     for i in range(B0):
-        results.append(_backtrace_one(
-            bands[:, i], traces[:, i], blls[:, i], int(n_ev[i]),
-            int(n_km[i]), seqs[i], ev_mean[i], model, shifts[i],
-            scales[i], lps[i]))
+        nal = int(n_al[i])
+        if nal == 0:
+            results.append([])
+            continue
+        frs = fr_out[i, :nal].astype(np.int32)
+        dk = (frs != 1).astype(np.int32)
+        de = (frs != 2).astype(np.int32)
+        ks = (n_km[i] - 1) - (np.cumsum(dk) - dk)    # k before each move
+        es = int(e0[i]) - (np.cumsum(de) - de)
+        avg = float(sum_em[i]) / nal
+        spanned = int(k_last[i]) == 0 and int(ks[0]) == n_km[i] - 1
+        if avg < -5.0 or not spanned or int(mgap[i]) > 50:
+            results.append([])
+            continue
+        results.append(list(zip(ks[::-1].tolist(), es[::-1].tolist())))
     return results
 
 

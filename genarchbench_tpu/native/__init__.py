@@ -130,6 +130,11 @@ def readers_lib() -> Optional[ctypes.CDLL]:
         i64, p64, p32, p32, p32, p64, p32, p32, p64, pu8, pu8,
         ctypes.c_int32, i64, i64, ctypes.c_int32, p32,
         p64, pu8, p64, p64, p64, i64]
+    pf = ctypes.POINTER(ctypes.c_float)
+    lib.peak_detect.restype = i64
+    lib.peak_detect.argtypes = [pf, pf, i64, ctypes.c_float,
+                                ctypes.c_float, i64, i64,
+                                ctypes.c_float, p64]
     _READERS = lib
     return lib
 
@@ -390,3 +395,19 @@ def nib_fill_pack(flat, off, src, lens, width: int, dummy: int):
                       rows, width, dummy,
                       _as_ptr(out, ctypes.c_uint8))
     return out
+
+
+def peak_detect_native(t1, t2, thr1, thr2, wl1, wl2, peak_height):
+    """C short_long_peak_detector; None -> pure-Python fallback.
+    t1/t2 float32 t-stat arrays -> int64 peak positions (count-sized)."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    n = len(t1)
+    out = np.zeros(n, np.int64)
+    pc = lib.peak_detect(_as_ptr(t1, ctypes.c_float),
+                         _as_ptr(t2, ctypes.c_float), n,
+                         thr1, thr2, wl1, wl2, peak_height,
+                         _as_ptr(out, ctypes.c_int64))
+    return out, int(pc)
