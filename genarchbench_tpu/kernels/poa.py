@@ -474,22 +474,38 @@ def _convex_dp_codes(node_ch, seq, preds, npred, H0col, F0col, O0col,
 
 @partial(jax.jit, static_argnames=("R", "W", "P", "m", "n", "g", "e",
                                    "q", "c", "MAXSTEP"))
-def _poa_align_device(node_ch, seq, preds, npred, H0col, F0col, O0col,
-                      endmask, Wlen, active,
+def _poa_align_device(blob, active,
                       R, W, P, m, n, g, e, q, c, MAXSTEP):
     """Batched (vmapped) DP + lock-step traceback walk over G windows.
-    Returns one packed uint32 (G, MAXSTEP) plane: per step the consumed
-    node ROW (-1: none) in the low half and query index (-1: none) in
-    the high half, -2 marking walk end — ONE device->host transfer (the
-    remote-tunnel link has ~10 ms/call latency and single-digit MB/s
-    d2h, so transfer count and bytes both matter)."""
+    All per-round inputs arrive as ONE flat int32 blob (array-major:
+    node_ch | seq | preds | npred | H0col | F0col | O0col | endmask |
+    Wlen) and the result returns as ONE packed uint32 (G, MAXSTEP)
+    plane: per step the consumed node ROW (-1: none) in the low half
+    and query index (-1: none) in the high half, -2 marking walk end.
+    The remote-tunnel link pays ~100 ms per transfer regardless of
+    size, so transfer COUNT dominates — 9 h2d calls measured 0.94 s
+    against ~1 MB of payload."""
+    i32 = jnp.int32
+    W1 = W + 1
+    per = R + W1 + R * P + R + 3 * (R + 1) + R + 1
+    G = blob.shape[0] // per
+
+    parts = []
+    o = 0
+    for sz, shape in ((R, (G, R)), (W1, (G, W1)), (R * P, (G, R, P)),
+                      (R, (G, R)), (R + 1, (G, R + 1)),
+                      (R + 1, (G, R + 1)), (R + 1, (G, R + 1)),
+                      (R, (G, R)), (1, (G,))):
+        parts.append(lax.slice(blob, (o,), (o + G * sz,)).reshape(shape))
+        o += G * sz
+    (node_ch, seq, preds, npred, H0col, F0col, O0col,
+     endmask_i, Wlen) = parts
+    endmask = endmask_i != 0
+
     plane1, plane2, start_i = jax.vmap(
         partial(_convex_dp_codes, R=R, W=W, P=P, m=m, n=n, g=g, e=e,
                 q=q, c=c))(node_ch, seq, preds, npred, H0col, F0col,
                            O0col, endmask, Wlen)
-
-    i32 = jnp.int32
-    G = node_ch.shape[0]
     W1 = W + 1
     p1f = plane1.reshape(G, (R + 1) * W1)
     p2f = plane2.reshape(G, (R + 1) * W1)
@@ -642,14 +658,13 @@ class ConvexNWEngine:
         H0col[:, 0] = 0
 
         MAXSTEP = Rpad + W1 + 4
+        blob = np.concatenate([
+            node_chs.ravel(), seq_arrs.ravel(), preds.ravel(),
+            npred.ravel(), H0col.astype(np.int32).ravel(),
+            F0.astype(np.int32).ravel(), O0.astype(np.int32).ravel(),
+            endmask.astype(np.int32).ravel(), Wlen])
         packed = _poa_align_device(
-            jnp.asarray(node_chs), jnp.asarray(seq_arrs),
-            jnp.asarray(preds), jnp.asarray(npred),
-            jnp.asarray(H0col.astype(np.int32)),
-            jnp.asarray(F0.astype(np.int32)),
-            jnp.asarray(O0.astype(np.int32)),
-            jnp.asarray(endmask), jnp.asarray(Wlen),
-            jnp.ones(Gn, bool),
+            jnp.asarray(blob), jnp.ones(Gn, bool),
             R=Rpad, W=Wpad, P=Ppad, m=m_, n=n_, g=g_, e=e_, q=q_,
             c=c_, MAXSTEP=MAXSTEP)
         halves = np.ascontiguousarray(np.asarray(packed)) \
