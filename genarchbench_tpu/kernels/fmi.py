@@ -676,14 +676,23 @@ class FMISearch:
 
 def search_reads(fmi: FMISearch, reads: List[np.ndarray],
                  batch_size: int, min_seed: int) -> List[List[Tuple]]:
-    """The driver's 3-pass batch loop (fmi.cpp:262-356).  Returns per
-    batch the sorted [(rid, m, n)] list."""
+    """The driver's 3-pass batch loop (fmi.cpp:262-356).
+
+    The reference's batch_size (512) is an OMP work-granularity knob
+    that does not affect results (reads are independent; the final
+    order is the global (rid, m, -n) stable sort because rids
+    partition across batches).  Device batching therefore uses its own
+    much larger granularity — per-batch fixed costs (h2d/d2h latency,
+    restart-loop round trips) made 512-read batches ~500x slower than
+    the arithmetic on the remote link.  Returns ONE group holding the
+    globally sorted (rid, m, n) arrays."""
     n = len(reads)
     Lmax = 1 << max(max(len(r) for r in reads) - 1, 1).bit_length()
     split_len = int(min_seed * SPLIT_FACTOR + .499)
+    dev_batch = max(batch_size, 32768)
     results = []
-    for i in range(0, n, batch_size):
-        batch = reads[i:i + batch_size]
+    for i in range(0, n, dev_batch):
+        batch = reads[i:i + dev_batch]
         bc = len(batch)
         qdb = np.full(bc * Lmax, 4, np.uint8)
         qoff = np.arange(bc, dtype=np.int32) * Lmax
@@ -712,12 +721,14 @@ def search_reads(fmi: FMISearch, reads: List[np.ndarray],
         s3 = fmi.bwt_seed_batch(qdb, qoff, qlen, rid, MAX_MEM_INTV,
                                 min_seed + 1, Lmax)
 
-        r_all = np.concatenate([s1[0], s2[0], s3[0]]) + i
-        m_all = np.concatenate([s1[1], s2[1], s3[1]])
-        n_all = np.concatenate([s1[2], s2[2], s3[2]])
-        order = np.lexsort((-n_all, m_all, r_all))   # stable
-        results.append((r_all[order], m_all[order], n_all[order]))
-    return results
+        results.append((np.concatenate([s1[0], s2[0], s3[0]]) + i,
+                        np.concatenate([s1[1], s2[1], s3[1]]),
+                        np.concatenate([s1[2], s2[2], s3[2]])))
+    r_all = np.concatenate([r for r, _, _ in results])
+    m_all = np.concatenate([m for _, m, _ in results])
+    n_all = np.concatenate([nn for _, _, nn in results])
+    order = np.lexsort((-n_all, m_all, r_all))       # stable
+    return [(r_all[order], m_all[order], n_all[order])]
 
 
 def run(argv: Sequence[str]) -> int:

@@ -22,6 +22,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Dict, List, Sequence, Tuple
 
@@ -265,14 +266,26 @@ def _assemble_pileup(covarr, present, ev_p, ev_j, ev_f, start, end,
 def _scatter_counts(cols, feats, ncols, device_out=False):
     from functools import partial
 
+    width = FEATLEN * NUM_HOMOP
+    size = ncols * width
+    if not os.environ.get("GENARCH_PILEUP_DEVICE_SCATTER"):
+        # single-chip default: the count is a plain histogram and the
+        # host bincount beats shipping ~16 MB of event indices through
+        # the tunnel into a TPU scatter-add (scatters are the slowest
+        # op class on this hardware — see kmer's host merge precedent);
+        # the env flag keeps the device scatter path measurable
+        flat = np.asarray(cols) * width + np.asarray(feats)
+        mat = np.bincount(flat[(flat >= 0) & (flat < size)],
+                          minlength=size).astype(np.int32)
+        mat = mat.reshape(max(ncols, 1) if size else 0, width)
+        return jnp.asarray(mat) if device_out else mat
+
     @partial(jax.jit, static_argnames=("size",))
     def impl(flat_idx, size):
         return jnp.zeros((size,), jnp.int32).at[flat_idx].add(1, mode="drop")
 
-    width = FEATLEN * NUM_HOMOP
     # pad sizes to pow2 buckets so chunk sizes don't each compile a
     # fresh program; padded indices point out of range => dropped
-    size = ncols * width
     psize = 1 << max(size - 1, 1).bit_length()
     flat = np.asarray(cols * width + feats, np.int32)
     n = 1 << max(len(flat) - 1, 1).bit_length()
