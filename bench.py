@@ -35,6 +35,7 @@ CACHE = RB / "bench_baselines.json"
 TMP = pathlib.Path("/tmp")
 KMER_K = 17
 TPU_TIMEOUT = int(os.environ.get("BENCH_TPU_TIMEOUT", "900"))
+NN_CHUNKS, NN_CHUNKSIZE = 32, 6000
 
 
 # ---------------------------------------------------------------------------
@@ -313,6 +314,22 @@ def ref_time(kernel: str, paths, nthreads: int) -> float:
             capture_output=True, text=True, timeout=1800, env=env)
         secs = _grep_time(r"Data processing time: ([0-9.]+) sec",
                           r.stderr + r.stdout)
+    elif kernel == "nn":
+        # reference nn-base ROI = QuartzNet forward (bonito
+        # basecall.py:653-658 'samples per second'); baseline is the
+        # identical torch model on all host cores (bonito is torch).
+        import torch
+        torch.set_num_threads(nthreads)
+        sys.path.insert(0, str(REPO / "tests"))
+        from test_basecall import _torch_quartznet
+        from genarchbench_tpu.nn.basecall import DEFAULT_CONFIG
+        tm = _torch_quartznet(DEFAULT_CONFIG).eval()
+        x = torch.randn(NN_CHUNKS, 1, NN_CHUNKSIZE)
+        with torch.no_grad():
+            tm(x)                      # warm
+            t0 = time.perf_counter()
+            tm(x)
+            secs = time.perf_counter() - t0
     else:
         raise KeyError(kernel)
     cache[key] = secs
@@ -396,6 +413,16 @@ def measure_child(kernel: str, platform: str):
         t0 = time.perf_counter()
         pipeline()
         dt = time.perf_counter() - t0
+    elif kernel == "nn":
+        from genarchbench_tpu.nn.basecall import Basecaller
+        rng_n = np.random.default_rng(110)
+        caller = Basecaller.init(chunksize=NN_CHUNKSIZE)
+        x = rng_n.standard_normal(
+            (NN_CHUNKS, NN_CHUNKSIZE, 1)).astype(np.float32)
+        caller.forward(x)              # warm compile
+        t0 = time.perf_counter()
+        caller.forward(x)
+        dt = time.perf_counter() - t0
     elif kernel in ("chain", "fmi", "pileup", "dbg"):
         import contextlib
         import io as io_mod
@@ -448,57 +475,167 @@ def measure(kernel: str, platform: str, timeout: int):
     return float(m.group(1)), m.group(2)
 
 
+# ---------------------------------------------------------------------------
+# resilient driver: the geomean JSON line MUST print no matter what the
+# TPU tunnel does (BENCH_r03 was empty because one kernel burned its
+# 900 s timeout and the driver killed the run before the JSON printed).
+#   - per-kernel measurements persist to .refbuild/bench_ours.json and
+#     are reused when a fresh measurement cannot be taken
+#   - each kernel gets a bounded budget (BENCH_KERNEL_BUDGET, 300 s)
+#     with one retry while the global deadline allows
+#   - a global deadline (BENCH_GLOBAL_DEADLINE, 1500 s) stops fresh
+#     measurement; remaining kernels fill from the cache
+#   - kernels run cheapest-first so a mid-run kill loses the least
+#   - SIGTERM/SIGINT print the JSON from whatever completed
+# ---------------------------------------------------------------------------
+
+OURS_CACHE = RB / "bench_ours.json"
+
+# nominal DP cell counts for the cells/s detail (BASELINE.md north star)
+_CELLS = {
+    "bpm": 4096 * 480 * 480,        # full Myers matrix per pair
+    "bsw": 16384 * 384 * 192,       # banded-SW matrix bound per pair
+    "wfa": 8192 * 96 * 96,          # equivalent full-DP cells per pair
+}
+
+_emit_state = {"done": False, "detail": {}, "nthreads": 0}
+
+
+def _load_ours():
+    try:
+        return json.loads(OURS_CACHE.read_text())
+    except Exception:
+        return {}
+
+
+def _save_ours(cache):
+    try:
+        OURS_CACHE.write_text(json.dumps(cache))
+    except Exception:
+        pass
+
+
+def emit():
+    """Print the one-line JSON from whatever has completed (idempotent)."""
+    if _emit_state["done"]:
+        return
+    _emit_state["done"] = True
+    detail = _emit_state["detail"]
+    sps = {k: d["speedup"] for k, d in detail.items()
+           if d.get("speedup") and d["speedup"] > 0}
+    if not sps:
+        print(json.dumps({
+            "metric": "geomean_speedup_vs_reference", "value": 0.0,
+            "unit": "x (no kernel measured)", "vs_baseline": 0.0}))
+        return
+    geo = math.exp(sum(math.log(s) for s in sps.values()) / len(sps))
+    plats = sorted({d["platform"] for d in detail.values()
+                    if d.get("platform")})
+    print(json.dumps({
+        "metric": "geomean_speedup_vs_reference",
+        "value": round(geo, 3),
+        "unit": (f"x geomean over {len(sps)} kernels "
+                 f"({','.join(sorted(sps))}) on {','.join(plats)} vs "
+                 f"reference -O2 {_emit_state['nthreads']}t same host"),
+        "vs_baseline": round(geo, 3),
+        "detail": {k: {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                       for kk, vv in d.items()}
+                   for k, d in sorted(detail.items())},
+    }))
+    sys.stdout.flush()
+
+
+def _sig_emit(signum, frame):
+    emit()
+    os._exit(0)
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--measure":
         measure_child(sys.argv[2], sys.argv[3])
         return
 
+    import signal
+    signal.signal(signal.SIGTERM, _sig_emit)
+    signal.signal(signal.SIGINT, _sig_emit)
+
+    t_start = time.monotonic()
+    deadline = t_start + int(os.environ.get("BENCH_GLOBAL_DEADLINE", "1500"))
+    budget_s = int(os.environ.get("BENCH_KERNEL_BUDGET", "300"))
+
     paths = gen_inputs()
     nthreads = os.cpu_count() or 1
+    _emit_state["nthreads"] = nthreads
+    # cheapest-first (expected warm wall seconds incl. compile)
     kernels = os.environ.get(
         "BENCH_KERNELS",
-        "kmer,bpm,fastchain,bsw,wfa,poa,chain,fmi,pileup,dbg,abea"
+        "bpm,bsw,wfa,kmer,abea,fastchain,dbg,nn,pileup,chain,poa,fmi"
     ).split(",")
+    size_tag = os.environ.get("BENCH_SIZE", paths.get("size_tag", "v2"))
+    ours_cache = _load_ours()
+    detail = _emit_state["detail"]
 
-    speedups = {}
-    plat_used = {}
-    for k in kernels:
-        try:
-            ref_s = ref_time(k, paths, nthreads)
-        except Exception as e:
-            print(f"# {k}: reference baseline failed ({e})", file=sys.stderr)
-            continue
-        try:
-            ours_s, plat = measure(k, "tpu", TPU_TIMEOUT)
-        except Exception as e:
-            print(f"# {k}: tpu measurement skipped "
-                  f"({type(e).__name__})", file=sys.stderr)
-            continue
-        speedups[k] = ref_s / ours_s
-        plat_used[k] = plat
-        print(f"# {k}: ours {ours_s:.2f}s on {plat} vs "
-              f"ref({nthreads}t) {ref_s:.2f}s -> {speedups[k]:.2f}x",
-              file=sys.stderr)
+    try:
+        for k in kernels:
+            try:
+                ref_s = ref_time(k, paths, nthreads)
+            except Exception as e:
+                print(f"# {k}: reference baseline failed ({e})",
+                      file=sys.stderr)
+                continue
+            key = f"{k}_{size_tag}"
+            cached = ours_cache.get(key)
+            ours_s, plat, from_cache = None, None, False
+            for attempt in range(2):
+                remaining = deadline - time.monotonic()
+                if remaining < 45:
+                    break
+                try:
+                    ours_s, plat = measure(
+                        k, "tpu", int(min(budget_s, remaining - 15)))
+                    break
+                except Exception as e:
+                    print(f"# {k}: attempt {attempt + 1} failed "
+                          f"({type(e).__name__})", file=sys.stderr)
+            if ours_s is not None:
+                ours_cache[key] = {"secs": ours_s, "platform": plat,
+                                   "ts": time.time()}
+                _save_ours(ours_cache)
+            elif cached:
+                ours_s, plat, from_cache = (cached["secs"],
+                                            cached["platform"], True)
+                print(f"# {k}: using cached measurement "
+                      f"({ours_s:.2f}s)", file=sys.stderr)
+            else:
+                print(f"# {k}: no measurement and no cache - skipped",
+                      file=sys.stderr)
+                continue
+            d = {"ours_s": ours_s, "ref_s": ref_s,
+                 "speedup": ref_s / ours_s, "platform": plat,
+                 "cached": from_cache}
+            if k in _CELLS:
+                d["gcells_per_s"] = _CELLS[k] / ours_s / 1e9
+            detail[k] = d
+            print(f"# {k}: ours {ours_s:.2f}s on {plat}"
+                  f"{' (cached)' if from_cache else ''} vs "
+                  f"ref({nthreads}t) {ref_s:.2f}s -> "
+                  f"{d['speedup']:.2f}x", file=sys.stderr)
 
-    if not speedups:
-        # total TPU outage: measure kmer on the CPU backend so the
-        # driver still records a data point
-        ref_s = ref_time("kmer", paths, nthreads)
-        ours_s, plat = measure("kmer", "cpu", 900)
-        speedups["kmer"] = ref_s / ours_s
-        plat_used["kmer"] = plat
-        print(f"# kmer (cpu fallback): {ours_s:.2f}s vs {ref_s:.2f}s",
-              file=sys.stderr)
-
-    geo = math.exp(sum(math.log(s) for s in speedups.values())
-                   / len(speedups))
-    print(json.dumps({
-        "metric": "geomean_speedup_vs_reference",
-        "value": round(geo, 3),
-        "unit": f"x ({','.join(sorted(speedups))} on "
-                f"{','.join(sorted(set(plat_used.values())))})",
-        "vs_baseline": round(geo, 3),
-    }))
+        if not detail and deadline - time.monotonic() > 120:
+            # total TPU outage and empty cache: one CPU-backend number
+            ref_s = ref_time("bpm", paths, nthreads)
+            try:
+                ours_s, plat = measure(
+                    "bpm", "cpu",
+                    int(deadline - time.monotonic() - 15))
+                detail["bpm"] = {"ours_s": ours_s, "ref_s": ref_s,
+                                 "speedup": ref_s / ours_s,
+                                 "platform": plat, "cached": False}
+            except Exception as e:
+                print(f"# cpu fallback failed ({type(e).__name__})",
+                      file=sys.stderr)
+    finally:
+        emit()
 
 
 if __name__ == "__main__":
