@@ -48,100 +48,225 @@ def clin_table(avg_qspan: float, size: int) -> np.ndarray:
     return (dd * 0.01 * np.float64(np.float32(avg_qspan))).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("with_heuristics",))
-def _chain_dp_device(x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
-                     scores, parents, targets, peaks, with_heuristics=True):
-    """Lock-step batched chain DP.
+def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
+    """Per-record sparse corrections making the device's f32 gap cost
+    bit-equal to the C f64 one: (corr_dd, corr_delta) (B, CORR_K) and
+    the count of rows needing more than CORR_K slots (0 in practice —
+    measured <= 1 correction per row across the avg_qspan range)."""
+    nb = len(avg32)
+    corr_dd = np.full((B, CORR_K), -1, np.int32)
+    corr_delta = np.zeros((B, CORR_K), np.int32)
+    t1 = np.arange(t_size, dtype=np.float64) * 0.01
+    ddf = np.arange(t_size, dtype=np.float32) * np.float32(0.01)
+    n_over = 0
+    for lo in range(0, nb, 2048):
+        hi = min(lo + 2048, nb)
+        a32 = avg32[lo:hi]
+        appr32 = ddf[None, :] * a32[:, None]          # device-identical
+        # only near-integer products can truncate differently in f32
+        # vs f64 (the two-op f32 product is within ~5e-4 of the f64
+        # one for values <= ~20000); check exactly just those
+        frac = appr32 - np.rint(appr32)
+        rows, cols = np.nonzero(np.abs(frac) < 4e-3)
+        if len(rows) == 0:
+            continue
+        appr_i = appr32[rows, cols].astype(np.int32)
+        exact_i = (t1[cols] * a32[rows].astype(np.float64)
+                   ).astype(np.int32)
+        bad = appr_i != exact_i
+        rows, cols = rows[bad], cols[bad]
+        delta = exact_i[bad] - appr_i[bad]
+        for r_ in np.unique(rows):
+            m_ = rows == r_
+            sel = cols[m_]
+            if len(sel) > CORR_K:
+                n_over += 1
+                continue
+            corr_dd[lo + r_, :len(sel)] = sel
+            corr_delta[lo + r_, :len(sel)] = delta[m_]
+    return corr_dd, corr_delta, n_over
 
-    Shapes: (B, N) int32/uint32 for x_lo/qi/span/sid/st and the four state
-    arrays; (B,) for n/mdx/mdy/bw/nsegs; (B, T) for clin.
-    """
+
+CORR_K = 16
+
+
+@partial(jax.jit, static_argnames=("with_heuristics", "use_table"))
+def _chain_dp_device(x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
+                     clin, avg32, corr_dd, corr_delta,
+                     with_heuristics=True, use_table=False):
+    """Lock-step batched chain DP, DENSE per anchor: no inner j-loop.
+
+    Key observation making the reference's sequential predecessor scan
+    (host_kernel.cpp:58-94) fully vectorizable: the `t[]` skip-marker
+    writes only matter WITHIN the same anchor's scan (the test is
+    `t[j] == i`, and writes during anchor i store exactly i), and a
+    break only truncates positions BELOW the break point, which were
+    never consumed by positions above it.  So per anchor i, over the
+    whole window at once:
+      * sc_j, the distance/continue masks: dense (B, N) elementwise
+      * "better" (sc beats the running max at moment j): a reversed
+        exclusive cumulative max
+      * "t[j] == i" (some processed j' had parents[j'] == j): one
+        scatter-max of writer positions (parents[j'] < j' guarantees
+        any writer is processed before its target is tested)
+      * the n_skip counter: every step is n -> max(n + c, 0) with
+        c in {-1, 0, +1}; these saturating-affine maps compose
+        associatively ((C1+C2, max(M1+C2, M2))), so the running
+        counter (and hence the break position) comes from one
+        lax.associative_scan
+    The winning predecessor is then the largest j above the break
+    achieving the window max (the reference's strict > keeps the
+    first-seen = largest j).  Shapes: (B, N) anchor arrays; (B,)
+    per-record params; (B, T) exact gap tables."""
     B, N = x_lo.shape
-    T = clin.shape[1]
-    bidx = jnp.arange(B, dtype=jnp.int32)
+    T = clin.shape[1] if use_table else int(jnp.iinfo(jnp.int32).max)
     i32 = jnp.int32
+    NEGI = jnp.asarray(-(1 << 30), i32)
+    bidx = jnp.arange(B, dtype=i32)
+    jidx = jnp.arange(N, dtype=i32)
+
+    scores0 = jnp.zeros((B, N), i32)
+    parents0 = jnp.full((B, N), -1, i32)
+    peaks0 = jnp.zeros((B, N), i32)
+    NW = (N + 31) // 32
+    # childbit[b, j, w] bit l set <=> parents[b, w*32+l] == j: the
+    # incremental inverse of `parents`, maintained with one B-element
+    # .add per anchor (bit i is unique per step, so add == bitwise-or).
+    # The skip-marker membership test then becomes a dense AND+reduce
+    # instead of a 2M-element scatter (which measured ~17 ms/anchor,
+    # ~90% of the whole DP).
+    childbit0 = jnp.zeros((B, N + 1, NW), jnp.uint32)
 
     def outer(i, state):
-        scores, parents, targets, peaks = state
+        scores, parents, peaks, childbit = state
         act_i = i < n                                   # (B,)
         ri = x_lo[:, i]
         qi_i = qi[:, i]
         span_i = span[:, i]
         sid_i = sid[:, i]
         st_i = st[:, i]
+        win = (jidx[None, :] < i) & (jidx[None, :] >= st_i[:, None])
+        dr = (ri[:, None] - x_lo).astype(i32)           # (B, N)
+        dq = qi_i[:, None] - qi
+        sid_eq = sid_i[:, None] == sid
+        dd = jnp.abs(dr - dq)
+        cont = ((sid_eq & (dr == 0)) | (dq <= 0)) \
+             | ((sid_eq & (dq > mdy[:, None])) | (dq > mdx[:, None])) \
+             | (sid_eq & (dd > bw[:, None])) \
+             | ((nsegs[:, None] > 1) & sid_eq & (dr > mdy[:, None]))
+        sc0 = jnp.minimum(jnp.minimum(dq, dr), span_i[:, None])
+        ddc = jnp.clip(dd, 0, T - 1)
+        if use_table:
+            c_lin = jnp.take_along_axis(clin, ddc, axis=1)
+        else:
+            # elementwise f32 mirror of the C f64 gap cost, made exact
+            # by the sparse per-record correction slots the host
+            # computed (f32 trunc differs from f64 trunc for <1e-4 of
+            # dd values); a 2M-element random gather per anchor into
+            # the (B, T) table measured ~10x the cost of these flops
+            appr = (ddc.astype(jnp.float32) * jnp.float32(0.01)
+                    ) * avg32[:, None]
+            c_lin = appr.astype(i32)
+            for k in range(CORR_K):
+                c_lin = c_lin + jnp.where(
+                    ddc == corr_dd[:, k][:, None],
+                    corr_delta[:, k][:, None], 0)
+        log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
+        gap = jnp.where(sid_eq, c_lin + (log_dd >> 1),
+                        jnp.where(dr == 0, 0,
+                                  jnp.minimum(c_lin, log_dd)))
+        bonus = ((~sid_eq) & (dr == 0)).astype(i32)
+        sc = sc0 + bonus - gap + scores
 
-        def cond(c):
-            j = c[0]
-            brk = c[2]
-            act = act_i & (~brk) & (j >= st_i)
-            return (j >= 0) & jnp.any(act)
+        eff = act_i[:, None] & win & (~cont)
+        scv = jnp.where(eff, sc, NEGI)
+        # running max at moment j = max(span, sc over eff j' > j):
+        # suffix max via hand-rolled Hillis-Steele shifts (static
+        # pad+slice fuses on TPU; lax.cummax/associative_scan lower to
+        # dynamic-slice towers that measured ~10x slower here)
+        suff_excl = jnp.concatenate(
+            [scv[:, 1:], jnp.full((B, 1), NEGI)], axis=1)
+        d = 1
+        while d < N:
+            shifted = jnp.concatenate(
+                [suff_excl[:, d:], jnp.full((B, d), NEGI)], axis=1)
+            suff_excl = jnp.maximum(suff_excl, shifted)
+            d *= 2
+        runmax = jnp.maximum(span_i[:, None], suff_excl)
+        better = eff & (sc > runmax)
 
-        def body(c):
-            j, nskip, brk, maxf, maxj, targets = c
-            act = act_i & (~brk) & (j >= st_i)
-            dr = (ri - x_lo[:, j]).astype(i32)
-            dq = qi_i - qi[:, j]
-            sid_eq = sid_i == sid[:, j]
-            dd = jnp.abs(dr - dq)
-            cont = ((sid_eq & (dr == 0)) | (dq <= 0)) \
-                 | ((sid_eq & (dq > mdy)) | (dq > mdx)) \
-                 | (sid_eq & (dd > bw)) \
-                 | ((nsegs > 1) & sid_eq & (dr > mdy))
-            min_d = jnp.minimum(dq, dr)
-            sc0 = jnp.minimum(min_d, span_i)
-            ddc = jnp.clip(dd, 0, T - 1)
-            c_lin = jnp.take_along_axis(clin, ddc[:, None], axis=1)[:, 0]
-            log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
-            gap = jnp.where(sid_eq, c_lin + (log_dd >> 1),
-                            jnp.where(dr == 0, 0, jnp.minimum(c_lin, log_dd)))
-            bonus = ((~sid_eq) & (dr == 0)).astype(i32)
-            sc = sc0 + bonus - gap + scores[:, j]
+        if with_heuristics:
+            effp = eff.astype(jnp.uint32)
+            if NW * 32 != N:
+                effp = jnp.concatenate(
+                    [effp, jnp.zeros((B, NW * 32 - N), jnp.uint32)],
+                    axis=1)
+            effw = (effp.reshape(B, NW, 32)
+                    * (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+                    ).sum(axis=2, dtype=jnp.uint32)        # (B, NW)
+            t_hit = jnp.any(
+                childbit[:, :N, :] & effw[:, None, :] != 0, axis=2)
+            skip_hit = eff & (~better) & t_hit
+            c = jnp.where(skip_hit, 1, jnp.where(better, -1, 0))
+            # running n_skip BEFORE j (j descending) = the suffix
+            # composition over j' > j of n -> max(n + c, 0), applied
+            # to 0: exclusive suffix scan of (C, M) pairs, hand-rolled
+            # (compose: (C1+C2, max(M1+C2, M2)); here op-after is the
+            # SMALLER j', i.e. the element nearer the suffix start)
+            Cs = jnp.concatenate(
+                [c[:, 1:], jnp.zeros((B, 1), i32)], axis=1)
+            Ms = jnp.zeros((B, N), i32)
+            d = 1
+            while d < N:
+                zs = jnp.zeros((B, d), i32)
+                C2 = jnp.concatenate([Cs[:, d:], zs], axis=1)
+                M2 = jnp.concatenate([Ms[:, d:], zs], axis=1)
+                # segment [j+d+1, j+2d] (C2/M2) executes FIRST in the
+                # descending scan, then [j+1, j+d] (Cs/Ms) after it
+                Cs, Ms = Cs + C2, jnp.maximum(M2 + Cs, Ms)
+                d *= 2
+            nsk_before = jnp.maximum(Cs, Ms)
+            newbrk = skip_hit & (nsk_before + 1 > MAX_SKIP)
+            jstar = jnp.max(jnp.where(newbrk, jidx[None, :], -1), axis=1)
+            valid = eff & (jidx[None, :] > jstar[:, None])
+        else:
+            valid = eff
 
-            eff = act & (~cont)
-            better = eff & (sc > maxf)
-            if with_heuristics:
-                skip_hit = eff & (~better) & (targets[:, j] == i)
-                nskip = jnp.where(better & (nskip > 0), nskip - 1, nskip)
-                nskip = jnp.where(skip_hit, nskip + 1, nskip)
-                newbrk = skip_hit & (nskip > MAX_SKIP)
-                brk = brk | newbrk
-                # targets[parents[j]] = i for rows that processed j and did
-                # not break on it (host_kernel.cpp:89); value i only grows,
-                # so a masked scatter-max is an exact in-place update.
-                pj = parents[:, j]
-                do = eff & (~newbrk) & (pj >= 0)
-                targets = targets.at[bidx, jnp.where(do, pj, 0)].max(
-                    jnp.where(do, i, -2), mode="promise_in_bounds")
-            maxj = jnp.where(better, j, maxj)
-            maxf = jnp.where(better, sc, maxf)
-            return (j - 1, nskip, brk, maxf, maxj, targets)
-
-        init = (i - 1, jnp.zeros(B, i32), jnp.zeros(B, bool),
-                span_i, jnp.full(B, -1, i32), targets)
-        _, _, _, maxf, maxj, targets = lax.while_loop(cond, body, init)
+        scv2 = jnp.where(valid, sc, NEGI)
+        best = jnp.max(scv2, axis=1)                    # (B,)
+        maxf = jnp.maximum(span_i, best)
+        is_best = valid & (sc == best[:, None]) & (best > span_i)[:, None]
+        maxj = jnp.max(jnp.where(is_best, jidx[None, :], -1), axis=1)
 
         scores = scores.at[:, i].set(jnp.where(act_i, maxf, 0))
         parents = parents.at[:, i].set(jnp.where(act_i, maxj, -1))
+        if with_heuristics:
+            row = jnp.where(act_i & (maxj >= 0), maxj, N)
+            childbit = childbit.at[
+                bidx, row, i >> 5].add(
+                jnp.uint32(1) << jnp.uint32(i & 31),
+                mode="promise_in_bounds")
         pk_j = peaks[bidx, jnp.maximum(maxj, 0)]
         pk = jnp.where((maxj >= 0) & (pk_j > maxf), pk_j, maxf)
         peaks = peaks.at[:, i].set(jnp.where(act_i, pk, 0))
-        return (scores, parents, targets, peaks)
+        return (scores, parents, peaks, childbit)
 
-    scores, parents, targets, peaks = lax.fori_loop(
-        0, N, outer, (scores, parents, targets, peaks))
+    scores, parents, peaks, _ = lax.fori_loop(
+        0, N, outer, (scores0, parents0, peaks0, childbit0))
     return scores, parents, peaks
 
 
 def chain_batch(records: Sequence[chain_io.ChainRecord],
                 with_heuristics: bool = True,
-                cell_budget: int = 1 << 22, mesh=None) -> List[tuple]:
+                cell_budget: int = 1 << 23, mesh=None) -> List[tuple]:
     """Run chain_dp over records; returns [(scores, parents, peaks)] in
     order.  With a mesh, records shard data-parallel along the batch axis
     (the OMP-dynamic-for equivalent, chain/src/host_kernel.cpp:98-107)."""
     from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
 
     results: List[tuple] = [None] * len(records)
-    plans = plan_batches([r.n for r in records], cell_budget=cell_budget)
+    plans = plan_batches([r.n for r in records], cell_budget=cell_budget,
+                         max_batch=4096)
     for plan in plans:
         recs = [records[k] for k in plan.indices]
         B, N = pad_batch(plan.batch, mesh), plan.length
@@ -162,18 +287,26 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
         nsegs = np.zeros(B, np.int32)
         nsegs[:len(recs)] = [r.n_segs for r in recs]
         t_size = int(max(r.max_dist_x for r in recs)) + 1
-        clin = np.zeros((B, t_size), np.int32)
-        for b, r in enumerate(recs):
-            clin[b] = clin_table(r.avg_qspan, t_size)
+        avg32 = np.zeros(B, np.float32)
+        avg32[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
+        corr_dd, corr_delta, n_over = gap_corrections(
+            avg32[:len(recs)], t_size, B)
+        use_table = n_over > 0
+        if use_table:     # >CORR_K corrections in some row: exact table
+            clin = np.zeros((B, t_size), np.int32)
+            for b, r in enumerate(recs):
+                clin[b] = clin_table(r.avg_qspan, t_size)
+        else:
+            clin = np.zeros((B, 1), np.int32)
 
-        (x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin) = shard_args(
-            mesh, x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin)
-        zeros = lambda: np.zeros((B, N), np.int32)
-        neg = lambda: np.full((B, N), -1, np.int32)
-        z, p0, t0, pk0 = shard_args(mesh, zeros(), neg(), neg(), zeros())
+        (x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin, avg32,
+         corr_dd, corr_delta) = shard_args(
+            mesh, x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
+            clin, avg32, corr_dd, corr_delta)
         scores, parents, peaks = _chain_dp_device(
             x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
-            z, p0, t0, pk0, with_heuristics=with_heuristics)
+            avg32, corr_dd, corr_delta,
+            with_heuristics=with_heuristics, use_table=use_table)
         scores = np.asarray(scores)
         parents = np.asarray(parents)
         peaks = np.asarray(peaks)

@@ -261,46 +261,50 @@ def build_index_from_fasta(path: str) -> FMIndex:
 # device search engine
 # ---------------------------------------------------------------------------
 
-def _occ(cp_count, oh_hi, oh_lo, pp, b):
-    """occ(pp, b): count of char b in BWT[0..pp) (GET_OCC)."""
+def _occ4(occtab, pp):
+    """occ(pp, b) for ALL four chars at once (GET_OCC).  occtab is the
+    packed (ncp, 12) uint32 checkpoint table [cnt0..3 | hi0..3 |
+    lo0..3]: ONE contiguous row-gather per position instead of 12
+    scattered 4-byte gathers — the backward pass runs this over
+    (B, Pmax) positions per step, and scattered-gather HBM traffic was
+    the round-3/4 pass-1 wall."""
     u32 = jnp.uint32
     cid = pp >> CP_SHIFT
     y = (pp & CP_MASK).astype(jnp.int32)
-    flat = cid * 4 + b
-    base = jnp.take(cp_count.reshape(-1), flat)
-    hi = jnp.take(oh_hi.reshape(-1), flat)
-    lo = jnp.take(oh_lo.reshape(-1), flat)
-    t_hi = jnp.clip(y, 0, 32)
-    t_lo = jnp.clip(y - 32, 0, 32)
+    row = jnp.take(occtab, cid, axis=0)          # (..., 12)
+    cnt = row[..., 0:4].astype(jnp.int32)
+    hi = row[..., 4:8]
+    lo = row[..., 8:12]
+    t_hi = jnp.clip(y, 0, 32)[..., None]
+    t_lo = jnp.clip(y - 32, 0, 32)[..., None]
     ones = jnp.uint32(0xFFFFFFFF)
     m_hi = jnp.where(t_hi > 0, ones << (32 - t_hi).astype(u32), u32(0))
     m_lo = jnp.where(t_lo > 0, ones << (32 - t_lo).astype(u32), u32(0))
-    cnt = (lax.population_count(hi & m_hi)
-           + lax.population_count(lo & m_lo)).astype(jnp.int32)
-    return base + cnt
+    pc = (lax.population_count(hi & m_hi)
+          + lax.population_count(lo & m_lo)).astype(jnp.int32)
+    return cnt + pc                               # (..., 4)
 
 
 def _backward_ext(idx, k, l, s, a):
     """Vectorized backwardExt (FMI_search.cpp:1268-1298).  idx = tuple
-    (count5, cp_count, oh_hi, oh_lo, sentinel)."""
-    count5, cp_count, oh_hi, oh_lo, sentinel = idx
+    (count5, occtab, sentinel)."""
+    count5, occtab, sentinel = idx
     a = jnp.clip(a, 0, 3)
-    sp, ep = k, k + s
-    kk, ss = [], []
-    for b in range(4):
-        osp = _occ(cp_count, oh_hi, oh_lo, sp, b)
-        oep = _occ(cp_count, oh_hi, oh_lo, ep, b)
-        kk.append(count5[b] + osp)
-        ss.append(oep - osp)
+    osp = _occ4(occtab, k)                        # (..., 4)
+    oep = _occ4(occtab, k + s)
+    kk4 = count5[:4] + osp
+    ss4 = oep - osp
     sent = ((k <= sentinel) & (k + s > sentinel)).astype(jnp.int32)
     l3 = l + sent
-    l2 = l3 + ss[3]
-    l1 = l2 + ss[2]
-    l0 = l1 + ss[1]
+    l2 = l3 + ss4[..., 3]
+    l1 = l2 + ss4[..., 2]
+    l0 = l1 + ss4[..., 1]
     ll = [l0, l1, l2, l3]
+    sel4 = lambda t: jnp.take_along_axis(
+        t, a[..., None], axis=-1)[..., 0]
     sel = lambda vs: jnp.where(a == 0, vs[0], jnp.where(
         a == 1, vs[1], jnp.where(a == 2, vs[2], vs[3])))
-    return sel(kk), sel(ll), sel(ss)
+    return sel4(kk4), sel(ll), sel4(ss4)
 
 
 def _qchar(qdb, off, j, valid):
@@ -325,19 +329,17 @@ def _last_eligible_scan(elig, val):
     return prev
 
 
-@partial(jax.jit, static_argnames=("Lmax", "Pmax", "min_seed", "emit_cap"))
-def _onepos_device(count5, cp_count, oh_hi, oh_lo, sentinel,
-                   qdb, qoff, qlen, x0, min_intv, active0,
-                   Lmax, Pmax, min_seed, emit_cap):
-    """One getSMEMsOnePosOneThread step for a batch of lanes.
-
-    qdb: flat int32 query char array; qoff (B,): per-lane offset;
-    qlen (B,); x0 (B,): start positions; active0 (B,).
-    Returns (emit_m, emit_n, emit_s (B, emit_cap), emit_cnt (B,),
-    next_x (B,))."""
+def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
+                 Lmax, Pmax, min_seed, emit_cap, em, en, es, ec):
+    """One getSMEMsOnePosOneThread step for a batch of lanes,
+    accumulating into the passed emission buffers (em, en, es (B,
+    emit_cap), ec (B,)) so the AllPos restart loop can run entirely
+    on device.  Returns (em, en, es, ec, next_x, ovf) where ovf is a
+    per-lane flag set when the Pmax prev-list width overflowed (the
+    caller reruns those shapes at full width)."""
     B = x0.shape[0]
     i32 = jnp.int32
-    idx = (count5, cp_count, oh_hi, oh_lo, sentinel)
+    count5 = idx[0]
 
     a0 = _qchar(qdb, qoff, x0, active0 & (x0 < qlen))
     lane_on = active0 & (a0 < 4)
@@ -401,6 +403,8 @@ def _onepos_device(count5, cp_count, oh_hi, oh_lo, sentinel,
     fin = lane_on & (s >= min_intv)
     (pm, pn, pk, pl, ps), npv = push(
         (pm, pn, pk, pl, ps), npv, (m, n, k, l, s), fin)
+    # push() drops entries past Pmax but keeps counting: detectable
+    ovf = lane_on & (npv > Pmax)
 
     # reverse the first npv entries
     slots = lax.broadcasted_iota(i32, (B, Pmax), 1)
@@ -410,11 +414,6 @@ def _onepos_device(count5, cp_count, oh_hi, oh_lo, sentinel,
     pm, pn, pk, pl, ps = rev(pm), rev(pn), rev(pk), rev(pl), rev(ps)
 
     # ---- backward search ----
-    em = jnp.zeros((B, emit_cap), i32)
-    en = jnp.zeros((B, emit_cap), i32)
-    es = jnp.zeros((B, emit_cap), i32)
-    ec = jnp.zeros((B,), i32)
-
     def emit(bufs, ec, vals, mask):
         slots2 = lax.broadcasted_iota(i32, (B, emit_cap), 1)
         at = slots2 == ec[:, None]
@@ -491,18 +490,71 @@ def _onepos_device(count5, cp_count, oh_hi, oh_lo, sentinel,
     (em, en, es), ec = emit((em, en, es), ec,
                             (pm[:, 0], pn[:, 0], ps[:, 0]), fmask)
 
-    return em, en, es, ec, next_x
+    return em, en, es, ec, next_x, ovf
+
+
+@partial(jax.jit, static_argnames=("Lmax", "Pmax", "min_seed", "emit_cap",
+                                   "out_w"))
+def _onepos_device(count5, occtab, sentinel,
+                   qdb, qoff, qlen, x0, min_intv, active0,
+                   Lmax, Pmax, min_seed, emit_cap, out_w):
+    """Single OnePos call (reseed pass, fmi.cpp:318-324)."""
+    B = x0.shape[0]
+    i32 = jnp.int32
+    idx = (count5, occtab, sentinel)
+    z = lambda: jnp.zeros((B, emit_cap), i32)
+    em, en, es, ec, nx, ovf = _onepos_core(
+        idx, qdb, qoff, qlen, x0, min_intv, active0,
+        Lmax, Pmax, min_seed, emit_cap, z(), z(), z(),
+        jnp.zeros((B,), i32))
+    ovf_any = jnp.any(ovf) | jnp.any(ec > out_w)
+    return em[:, :out_w], en[:, :out_w], es[:, :out_w], ec, nx, ovf_any
+
+
+@partial(jax.jit, static_argnames=("Lmax", "Pmax", "min_seed", "emit_cap",
+                                   "out_w"))
+def _allpos_device(count5, occtab, sentinel,
+                   qdb, qoff, qlen, min_intv, active0,
+                   Lmax, Pmax, min_seed, emit_cap, out_w):
+    """getSMEMsAllPosOneThread (FMI_search.cpp:915-968) for a batch:
+    the restart-position loop (x = next_x until x >= qlen) runs INSIDE
+    the device program — one dispatch and one narrow d2h per batch
+    instead of one round trip per restart position (the round-3 host
+    loop shipped ~50 MB per restart over a ~100 MB/s link and never
+    finished the bench input)."""
+    B = qoff.shape[0]
+    i32 = jnp.int32
+    idx = (count5, occtab, sentinel)
+
+    def cond(c):
+        return jnp.any(c[0])
+
+    def body(c):
+        act, x, em, en, es, ec, ovf = c
+        em, en, es, ec, nx, ovf1 = _onepos_core(
+            idx, qdb, qoff, qlen, x, min_intv, act,
+            Lmax, Pmax, min_seed, emit_cap, em, en, es, ec)
+        nx = jnp.maximum(nx, x + 1)
+        return (act & (nx < qlen), nx, em, en, es, ec, ovf | ovf1)
+
+    z = lambda: jnp.zeros((B, emit_cap), i32)
+    act0 = active0 & (qlen > 0)
+    (_, _, em, en, es, ec, ovf) = lax.while_loop(
+        cond, body, (act0, jnp.zeros((B,), i32), z(), z(), z(),
+                     jnp.zeros((B,), i32), jnp.zeros((B,), bool)))
+    ovf_any = jnp.any(ovf) | jnp.any(ec > out_w)
+    return em[:, :out_w], en[:, :out_w], es[:, :out_w], ec, ovf_any
 
 
 @partial(jax.jit, static_argnames=("min_seed", "emit_cap"))
-def _bwt_seed_device(count5, cp_count, oh_hi, oh_lo, sentinel,
+def _bwt_seed_device(count5, occtab, sentinel,
                      qdb, qoff, qlen, max_intv, min_seed, emit_cap):
     """bwtSeedStrategyAllPosOneThread for a batch
     (FMI_search.cpp:975-1075): forward-only sweep, emit the first
     interval that drops under max_intv at length >= min_seed."""
     B = qoff.shape[0]
     i32 = jnp.int32
-    idx = (count5, cp_count, oh_hi, oh_lo, sentinel)
+    idx = (count5, occtab, sentinel)
 
     em = jnp.zeros((B, emit_cap), i32)
     en = jnp.zeros((B, emit_cap), i32)
@@ -579,21 +631,21 @@ class FMISearch:
         self.index = index
         self.mesh = mesh
         self.count5 = jnp.asarray(index.count, jnp.int32)
-        self.cp_count = jnp.asarray(index.cp_count, jnp.int32)
-        self.oh_hi = jnp.asarray(index.oh_hi)
-        self.oh_lo = jnp.asarray(index.oh_lo)
+        # packed checkpoint rows [cnt0..3 | hi0..3 | lo0..3]: one
+        # contiguous gather per occ position (see _occ4)
+        occtab = np.concatenate([index.cp_count.astype(np.uint32),
+                                 index.oh_hi, index.oh_lo], axis=1)
+        self.occtab = jnp.asarray(occtab)
         self.sentinel = jnp.asarray(index.sentinel, jnp.int32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(mesh, P())
-            (self.count5, self.cp_count, self.oh_hi, self.oh_lo,
-             self.sentinel) = (jax.device_put(t, rep) for t in (
-                 self.count5, self.cp_count, self.oh_hi, self.oh_lo,
-                 self.sentinel))
+            (self.count5, self.occtab, self.sentinel) = (
+                jax.device_put(t, rep) for t in (
+                    self.count5, self.occtab, self.sentinel))
 
     def _tables(self):
-        return (self.count5, self.cp_count, self.oh_hi, self.oh_lo,
-                self.sentinel)
+        return (self.count5, self.occtab, self.sentinel)
 
     def _replicate(self, qdb_j):
         if self.mesh is None:
@@ -621,33 +673,40 @@ class FMISearch:
         qdb_j = self._replicate(jnp.asarray(qdb.astype(np.int32)))
         qoff_j, qlen_j, mi_j = shard_args(
             self.mesh, padi(qoff), padi(qlen), padi(min_intv, 1))
-        x = np.concatenate([x0, np.zeros(pad, np.int32)]).astype(np.int32)
-        act = np.concatenate([np.ones(B, bool), np.zeros(pad, bool)])
         rid_p = np.concatenate([rid, np.zeros(pad, rid.dtype)])
-        cols = []
-        while act.any():
-            x_j, act_j = shard_args(self.mesh, x, act)
-            em, en, es, ec, nx = _onepos_device(
-                *self._tables(), qdb_j, qoff_j, qlen_j,
-                x_j, mi_j, act_j,
-                Lmax=Lmax, Pmax=Lmax, min_seed=min_seed,
-                emit_cap=Lmax + 2)
-            em, en, es, ec, nx = (np.asarray(v)
-                                  for v in (em, en, es, ec, nx))
-            # vectorized emit extraction (was a per-(read, slot) loop)
-            mask = ((np.arange(em.shape[1])[None, :] < ec[:, None])
-                    & act[:, None])
-            bb, tt = np.nonzero(mask)
-            cols.append((rid_p[bb], em[bb, tt], en[bb, tt], es[bb, tt]))
-            if not all_pos:
+        act0 = np.concatenate([np.ones(B, bool), np.zeros(pad, bool)])
+
+        # narrow prev-list width + narrow d2h window first; the ovf
+        # flag (prev list or emissions overflowed) triggers one rerun
+        # at full width — rare, and the recompile is cache-persistent
+        # narrow first tier: the emit buffers are rebuilt by a full
+        # `where` write on every loop step, so their WIDTH is a per-step
+        # bandwidth cost, not just a d2h cost
+        for Pmax, out_w in ((min(Lmax, 32), min(Lmax + 2, 32)),
+                            (Lmax, 2 * Lmax + 2)):
+            emit_cap = out_w
+            if all_pos:
+                act_j = shard_args(self.mesh, act0)[0]
+                em, en, es, ec, ovf = _allpos_device(
+                    *self._tables(), qdb_j, qoff_j, qlen_j, mi_j,
+                    act_j, Lmax=Lmax, Pmax=Pmax, min_seed=min_seed,
+                    emit_cap=emit_cap, out_w=out_w)
+            else:
+                x_j, act_j = shard_args(
+                    self.mesh,
+                    np.concatenate([x0, np.zeros(pad, np.int32)])
+                    .astype(np.int32), act0)
+                em, en, es, ec, _, ovf = _onepos_device(
+                    *self._tables(), qdb_j, qoff_j, qlen_j, x_j,
+                    mi_j, act_j, Lmax=Lmax, Pmax=Pmax,
+                    min_seed=min_seed, emit_cap=emit_cap, out_w=out_w)
+            if not bool(np.asarray(ovf)):
                 break
-            x = nx.astype(np.int32)
-            act = act & (x < np.asarray(qlen_j))
-        if not cols:
-            z = np.zeros(0, np.int32)
-            return z, z, z, z
-        return tuple(np.concatenate([c[k] for c in cols])
-                     for k in range(4))
+        em, en, es, ec = (np.asarray(v) for v in (em, en, es, ec))
+        mask = ((np.arange(em.shape[1])[None, :] < ec[:, None])
+                & act0[:, None])
+        bb, tt = np.nonzero(mask)
+        return rid_p[bb], em[bb, tt], en[bb, tt], es[bb, tt]
 
     def bwt_seed_batch(self, qdb, qoff, qlen, rid, max_intv: int,
                        min_seed: int, Lmax: int):
@@ -661,12 +720,15 @@ class FMISearch:
         qoff_j, qlen_j, mi_j = shard_args(
             self.mesh, padi(qoff), padi(qlen),
             padi(np.full(B, max_intv, np.int32), max_intv))
-        em, en, es, ec = _bwt_seed_device(
-            *self._tables(),
-            self._replicate(jnp.asarray(qdb.astype(np.int32))),
-            qoff_j, qlen_j, mi_j,
-            min_seed=min_seed, emit_cap=Lmax + 2)
-        em, en, es, ec = (np.asarray(v) for v in (em, en, es, ec))
+        qdb_j = self._replicate(jnp.asarray(qdb.astype(np.int32)))
+        for emit_cap in (min(Lmax + 2, 16), Lmax + 2):
+            em, en, es, ec = _bwt_seed_device(
+                *self._tables(), qdb_j, qoff_j, qlen_j, mi_j,
+                min_seed=min_seed, emit_cap=emit_cap)
+            ec = np.asarray(ec)
+            if not (ec > emit_cap).any():
+                break
+        em, en, es = (np.asarray(v) for v in (em, en, es))
         rid_p = np.concatenate([rid, np.zeros(pad, rid.dtype)])
         mask = ((np.arange(em.shape[1])[None, :] < ec[:, None])
                 & (np.arange(Bp) < B)[:, None])
@@ -689,7 +751,9 @@ def search_reads(fmi: FMISearch, reads: List[np.ndarray],
     n = len(reads)
     Lmax = 1 << max(max(len(r) for r in reads) - 1, 1).bit_length()
     split_len = int(min_seed * SPLIT_FACTOR + .499)
-    dev_batch = max(batch_size, 32768)
+    # cap the device batch by padded BASES, not read count, so
+    # long-read inputs don't blow up the (batch * Lmax) buffers
+    dev_batch = max(batch_size, min(32768, (64 << 20) // Lmax))
     results = []
     for i in range(0, n, dev_batch):
         batch = reads[i:i + dev_batch]

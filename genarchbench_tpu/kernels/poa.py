@@ -210,6 +210,65 @@ class Graph:
                 if valid:
                     stack.pop()
 
+    # ---- DP-prep / walk interface (shared with NativeGraph) ----
+
+    def num_ranks(self) -> int:
+        return len(self.rank_to_node_id)
+
+    def rank_ids(self):
+        return self.rank_to_node_id
+
+    def max_in_edges(self) -> int:
+        return max((len(self.nodes[nid].in_edges)
+                    for nid in self.rank_to_node_id), default=0)
+
+    def export_dp(self, P: int, g_: int, e_: int, q_: int, c_: int):
+        """(codes R, preds RxP, npred R, endmask R, O0 R+1, F0 R+1):
+        rank-ordered DP prep incl. the column-0 boundary series."""
+        rank = self.rank_to_node_id
+        R = len(rank)
+        codes = np.zeros(R, np.int32)
+        preds = np.zeros((R, P), np.int32)
+        npred = np.ones(R, np.int32)
+        endmask = np.zeros(R, bool)
+        O0 = np.full(R + 1, NEG, np.int64)
+        F0 = np.full(R + 1, NEG, np.int64)
+        O0[0] = 0
+        F0[0] = 0
+        id_to_rank = {nid: r for r, nid in enumerate(rank)}
+        for r, nid in enumerate(rank):
+            node = self.nodes[nid]
+            codes[r] = ord(self.decoder[node.code])
+            endmask[r] = not node.out_edges
+            es = node.in_edges
+            if not es:
+                penO, penF = q_ - c_, g_ - e_
+            else:
+                npred[r] = len(es)
+                penO = penF = None
+                for p, ed in enumerate(es):
+                    pi = id_to_rank[ed.begin] + 1
+                    preds[r, p] = pi
+                    penO = O0[pi] if penO is None else max(penO, O0[pi])
+                    penF = F0[pi] if penF is None else max(penF, F0[pi])
+            O0[r + 1] = penO + c_
+            F0[r + 1] = penF + e_
+        return codes, preds, npred, endmask, O0, F0
+
+    def add_walk(self, walk, seq: str) -> None:
+        """Consume a raw device walk ((ei, ej) int16 arrays in reverse
+        step order, or None for the no-alignment case)."""
+        if walk is None:
+            self.add_alignment([], seq)
+            return
+        ei, ej = walk
+        rank = self.rank_to_node_id
+        path = [(rank[int(a) - 1] if a > 0 else -1,
+                 int(b) if b >= 0 else -1)
+                for a, b in zip(ei, ej)]
+        path.reverse()
+        self.add_alignment(path, seq)
+
     def generate_consensus(self) -> str:
         self._traverse_heaviest_bundle()
         return "".join(self.decoder[self.nodes[nid].code]
@@ -275,6 +334,99 @@ class Graph:
                 max_score = scores[nid]
                 max_id = nid
         return max_id
+
+
+class NativeGraph:
+    """C-backed graph (native/poa_graph.c) with the same semantics and
+    interface as Graph — the reference's graph surgery is C++
+    (spoa graph.cpp); round 3 measured the pure-Python surgery at ~14 s
+    of the 16 s poa wall (2.5k add_alignment+toposort calls)."""
+
+    def __init__(self, lib):
+        import ctypes
+        self._ct = ctypes
+        self._lib = lib
+        self._h = lib.poa_new()
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.poa_free(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    def num_ranks(self) -> int:
+        return int(self._lib.poa_num_ranks(self._h))
+
+    def rank_ids(self):
+        R = self.num_ranks()
+        out = np.zeros(max(R, 1), np.int32)
+        self._lib.poa_get_ranks(
+            self._h, out.ctypes.data_as(
+                self._ct.POINTER(self._ct.c_int32)))
+        return out[:R]
+
+    def max_in_edges(self) -> int:
+        return int(self._lib.poa_max_in_edges(self._h))
+
+    def export_dp(self, P: int, g_: int, e_: int, q_: int, c_: int):
+        ct = self._ct
+        R = self.num_ranks()
+        codes = np.zeros(max(R, 1), np.int32)
+        preds = np.zeros((max(R, 1), P), np.int32)
+        npred = np.ones(max(R, 1), np.int32)
+        endmask = np.zeros(max(R, 1), np.uint8)
+        O0 = np.full(R + 1, NEG, np.int64)
+        F0 = np.full(R + 1, NEG, np.int64)
+        p32 = ct.POINTER(ct.c_int32)
+        p64 = ct.POINTER(ct.c_int64)
+        self._lib.poa_export_dp(
+            self._h, P, codes.ctypes.data_as(p32),
+            preds.ctypes.data_as(p32), npred.ctypes.data_as(p32),
+            endmask.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            O0.ctypes.data_as(p64), F0.ctypes.data_as(p64),
+            g_, e_, q_, c_)
+        return (codes[:R], preds[:R], npred[:R],
+                endmask[:R].astype(bool), O0, F0)
+
+    def add_walk(self, walk, seq: str) -> None:
+        ct = self._ct
+        sb = np.frombuffer(seq.encode(), np.uint8)
+        p16 = ct.POINTER(ct.c_int16)
+        pu8 = ct.POINTER(ct.c_uint8)
+        if walk is None or len(walk[0]) == 0:
+            rc = self._lib.poa_add_alignment(
+                self._h, None, None, 0,
+                sb.ctypes.data_as(pu8), len(sb), 0)
+        else:
+            ei = np.ascontiguousarray(walk[0], np.int16)
+            ej = np.ascontiguousarray(walk[1], np.int16)
+            rc = self._lib.poa_add_alignment(
+                self._h, ei.ctypes.data_as(p16),
+                ej.ctypes.data_as(p16), len(ei),
+                sb.ctypes.data_as(pu8), len(sb), 1)
+        if rc != 0:
+            raise RuntimeError("poa_add_alignment failed")
+
+    def generate_consensus(self) -> str:
+        ct = self._ct
+        cap = max(self.num_ranks() + 2, 2)
+        out = np.zeros(cap, np.uint8)
+        m = self._lib.poa_consensus(
+            self._h, out.ctypes.data_as(ct.POINTER(ct.c_uint8)), cap)
+        return out[:m].tobytes().decode()
+
+
+def new_graph():
+    """NativeGraph when the C library is available, else Graph."""
+    import os
+    if not os.environ.get("GENARCH_POA_PYGRAPH"):
+        from genarchbench_tpu import native
+        lib = native.readers_lib()
+        if lib is not None:
+            return NativeGraph(lib)
+    return Graph()
 
 
 # ---------------------------------------------------------------------------
@@ -580,27 +732,38 @@ class ConvexNWEngine:
     def __init__(self, m=2, n=-4, g=-6, e=-2, q=-28, c=-1):
         self.m, self.n, self.g, self.e, self.q, self.c = m, n, g, e, q, c
 
-    def align(self, seq: str, graph: Graph):
-        return self.align_many([seq], [graph])[0]
+    def align(self, seq: str, graph) -> list:
+        """Single-window compat wrapper: spoa-exact (node_id, seq_idx)
+        path."""
+        walk = self.align_many([seq], [graph])[0]
+        if walk is None:
+            return []
+        ei, ej = walk
+        rank = graph.rank_ids()
+        path = [(int(rank[int(a) - 1]) if a > 0 else -1,
+                 int(b) if b >= 0 else -1)
+                for a, b in zip(ei, ej)]
+        path.reverse()
+        return path
 
-    def align_many(self, seqs: List[str], graphs: List[Graph]):
+    def align_many(self, seqs: List[str], graphs) -> list:
         """Align seqs[w] to graphs[w] for every window w in ONE device
-        round (batched DP + lock-step walk).  Returns the spoa-exact
-        (node_id, seq_idx) alignment per window."""
+        round (batched DP + lock-step walk).  Returns per window the
+        raw walk (ei, ej int16 arrays, reverse step order; rank+1
+        row indices) or None for empty graphs/seqs — feed to
+        graph.add_walk."""
         m_, n_, g_, e_, q_, c_ = (self.m, self.n, self.g, self.e,
                                   self.q, self.c)
         G = len(seqs)
-        results: List[list] = [[] for _ in range(G)]
-        live = [w for w in range(G)
-                if graphs[w].nodes and seqs[w]]
+        results: List = [None] * G
+        nranks = [g.num_ranks() for g in graphs]
+        live = [w for w in range(G) if nranks[w] and seqs[w]]
         if not live:
             return results
 
-        Rmax = max(len(graphs[w].rank_to_node_id) for w in live)
+        Rmax = max(nranks[w] for w in live)
         Wmax = max(len(seqs[w]) for w in live)
-        Pmax = max(max((len(graphs[w].nodes[nid].in_edges)
-                        for nid in graphs[w].rank_to_node_id),
-                       default=1) for w in live)
+        Pmax = max(max(graphs[w].max_in_edges(), 1) for w in live)
         Rpad = _round_up_pow2(Rmax)
         Wpad = _round_up_pow2(Wmax)
         Ppad = _round_up_pow2(max(Pmax, 1), 1)
@@ -619,40 +782,21 @@ class ConvexNWEngine:
         F0 = np.full((Gn, Rpad + 1), NEG, np.int64)
         endmask = np.zeros((Gn, Rpad), bool)
         Wlen = np.zeros(Gn, np.int32)
-        ranks: List[List[int]] = []
 
         for gi, w in enumerate(live):
             graph, seq = graphs[w], seqs[w]
-            rank = graph.rank_to_node_id
-            ranks.append(rank)
-            R = len(rank)
+            R = nranks[w]
             W = len(seq)
             Wlen[gi] = W
-            id_to_rank = {nid: r for r, nid in enumerate(rank)}
             seq_arrs[gi, 1:W + 1] = np.frombuffer(seq.encode(), np.uint8)
-            node_chs[gi, :R] = np.frombuffer(
-                "".join(graph.decoder[graph.nodes[nid].code]
-                        for nid in rank).encode(), np.uint8)
-            O0[gi, 0] = 0
-            F0[gi, 0] = 0
-            for r, nid in enumerate(rank):
-                node = graph.nodes[nid]
-                es = node.in_edges
-                endmask[gi, r] = not node.out_edges
-                if not es:
-                    penO, penF = q_ - c_, g_ - e_
-                else:
-                    npred[gi, r] = len(es)
-                    penO = penF = None
-                    for p, ed in enumerate(es):
-                        pi = id_to_rank[ed.begin] + 1
-                        preds[gi, r, p] = pi
-                        penO = O0[gi, pi] if penO is None \
-                            else max(penO, O0[gi, pi])
-                        penF = F0[gi, pi] if penF is None \
-                            else max(penF, F0[gi, pi])
-                O0[gi, r + 1] = penO + c_
-                F0[gi, r + 1] = penF + e_
+            (codes, pr, npr, em, o0, f0) = graph.export_dp(
+                Ppad, g_, e_, q_, c_)
+            node_chs[gi, :R] = codes
+            preds[gi, :R] = pr
+            npred[gi, :R] = npr
+            endmask[gi, :R] = em
+            O0[gi, :R + 1] = o0
+            F0[gi, :R + 1] = f0
 
         H0col = np.maximum(O0, F0)
         H0col[:, 0] = 0
@@ -674,17 +818,12 @@ class ConvexNWEngine:
         else:
             outi, outj = halves[:, :, 1], halves[:, :, 0]
 
+        ends = outi == -2
         for gi, w in enumerate(live):
-            rank = ranks[gi]
             ei = outi[gi]
-            ej = outj[gi]
-            nstep = int(np.argmax(ei == -2)) if (ei == -2).any() \
+            nstep = int(np.argmax(ends[gi])) if ends[gi].any() \
                 else MAXSTEP
-            path = [(rank[int(a) - 1] if a > 0 else -1,
-                     int(b) if b >= 0 else -1)
-                    for a, b in zip(ei[:nstep], ej[:nstep])]
-            path.reverse()
-            results[w] = path
+            results[w] = (ei[:nstep], outj[gi][:nstep])
         return results
 
 
@@ -725,14 +864,14 @@ def consensus_for_batches(batches: List[List[str]],
     """Consensus per window, aligning all windows' s-th sequences in
     lock-step device rounds (the add_alignment order within each window
     is exactly the reference's sequential order)."""
-    graphs = [Graph() for _ in batches]
+    graphs = [new_graph() for _ in batches]
     rounds = max((len(b) for b in batches), default=0)
     for s in range(rounds):
         idx = [w for w, seqs in enumerate(batches) if s < len(seqs)]
-        aligns = engine.align_many([batches[w][s] for w in idx],
-                                   [graphs[w] for w in idx])
+        walks = engine.align_many([batches[w][s] for w in idx],
+                                  [graphs[w] for w in idx])
         for k, w in enumerate(idx):
-            graphs[w].add_alignment(aligns[k], batches[w][s])
+            graphs[w].add_walk(walks[k], batches[w][s])
     return [g.generate_consensus() for g in graphs]
 
 

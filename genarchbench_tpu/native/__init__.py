@@ -72,14 +72,16 @@ def readers_lib() -> Optional[ctypes.CDLL]:
         return None
     src = os.path.join(_DIR, "readers.c")
     sais_src = os.path.join(_DIR, "sais.c")
+    poa_src = os.path.join(_DIR, "poa_graph.c")
     so_path = os.path.join(_DIR, "readers.so")
     if not os.path.exists(so_path) or (
             os.path.getmtime(so_path) < max(os.path.getmtime(src),
-                                            os.path.getmtime(sais_src))):
+                                            os.path.getmtime(sais_src),
+                                            os.path.getmtime(poa_src))):
         cc = os.environ.get("CC", "cc")
         r = subprocess.run(
             [cc, "-O3", "-shared", "-fPIC", "-o", so_path, src,
-             sais_src, "-lz"],
+             sais_src, poa_src, "-lz"],
             capture_output=True, text=True)
         if r.returncode != 0:
             print(f"[genarchbench_tpu.native] readers build failed: "
@@ -135,6 +137,22 @@ def readers_lib() -> Optional[ctypes.CDLL]:
     lib.peak_detect.argtypes = [pf, pf, i64, ctypes.c_float,
                                 ctypes.c_float, i64, i64,
                                 ctypes.c_float, p64]
+    vp = ctypes.c_void_p
+    p16 = ctypes.POINTER(ctypes.c_int16)
+    lib.poa_new.restype = vp
+    lib.poa_free.argtypes = [vp]
+    lib.poa_add_alignment.restype = ctypes.c_int
+    lib.poa_add_alignment.argtypes = [vp, p16, p16, i64, pu8, i64,
+                                      ctypes.c_int]
+    lib.poa_num_ranks.restype = i64
+    lib.poa_num_ranks.argtypes = [vp]
+    lib.poa_get_ranks.argtypes = [vp, p32]
+    lib.poa_max_in_edges.restype = i64
+    lib.poa_max_in_edges.argtypes = [vp]
+    lib.poa_export_dp.argtypes = [vp, i64, p32, p32, p32, pu8, p64,
+                                  p64, i64, i64, i64, i64]
+    lib.poa_consensus.restype = i64
+    lib.poa_consensus.argtypes = [vp, pu8, i64]
     _READERS = lib
     return lib
 

@@ -42,6 +42,35 @@ def test_chain_matches_reference(chain_ref, tmp_path, seed, n_records,
     assert our_out == ref_out
 
 
+def test_chain_skip_break_stress(chain_ref, tmp_path):
+    """Dense low-score runs in front of each high-score anchor drive
+    n_skip past MAX_SKIP BEFORE the true best predecessor is reached —
+    the break changes scores/parents (verified: with_heuristics flips
+    the result on this input), exercising the break-point (j*)
+    computation of the dense scan (host_kernel.cpp:85-88)."""
+    out = []
+    for rec in range(6):
+        xs, qs = [], []
+        for k in range(1, 11):
+            qa0 = 1000 * k - 500 - 200 * (k % 2)
+            xa0 = 1000 * k - 100 - rec
+            for j in range(35):
+                xs.append(xa0 + 2 * j)
+                qs.append(qa0 + 2 * j)
+            xs.append(1000 * k)
+            qs.append(1000 * k)
+        x = np.array(xs, np.uint64)
+        q = np.array(qs, np.uint64)
+        y = (np.uint64(15) << np.uint64(32)) | q
+        out.append(f"{len(x)} 23.5 5000 5000 5000 1\n")
+        out.extend(f"{int(xi)} {int(yi)}\n" for xi, yi in zip(x, y))
+        out.append("EOR\n")
+    text = "".join(out)
+    ref_out = run_ref(chain_ref, text, tmp_path)
+    our_out = run_ours(text, tmp_path)
+    assert our_out == ref_out
+
+
 def test_chain_empty_and_single(chain_ref, tmp_path):
     rng = np.random.default_rng(7)
     text = gen_chain_input(rng, n_records=3, max_anchors=2)
