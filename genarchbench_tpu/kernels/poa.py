@@ -440,8 +440,12 @@ def _round_up_pow2(v: int, lo: int = 16) -> int:
     return p
 
 
+def _round_up_mult(v: int, m: int) -> int:
+    return max(m, ((v + m - 1) // m) * m)
+
+
 def _convex_dp_codes(node_ch, seq, preds, npred, H0col, F0col, O0col,
-                     endmask, Wlen,
+                     endmask, Wlen, nrank,
                      R, W, P, m, n, g, e, q, c):
     """DP over R ranks x W+1 columns for ONE window, emitting packed
     traceback CODE PLANES instead of returning the matrices.
@@ -525,40 +529,78 @@ def _convex_dp_codes(node_ch, seq, preds, npred, H0col, F0col, O0col,
         pre = jnp.maximum(Hdiag, jnp.maximum(F_row, O_row))
         pre = pre.at[0].set(Hm[i, 0])                         # col-0 boundary
 
-        # in-row coupled (H, E, Q) max-plus affine scan:
+        # in-row coupled (H, E, Q) recurrence:
         #   E_j = max(H_{j-1}+g, E_{j-1}+e); Q_j = max(H_{j-1}+q, Q_{j-1}+c)
         #   H_j = max(pre_j, E_j, Q_j)
-        # state s=[H,E,Q]; s_j = M (x) s_{j-1} (+) [pre_j, NEG, NEG]
-        M = jnp.array([[max(g, q), e, c],
-                       [g, e, NEG],
-                       [q, NEG, c]], i32)
-        Ms = jnp.broadcast_to(M, (W1, 3, 3))
-        cs = jnp.stack([pre,
-                        jnp.full((W1,), NEG, i32),
-                        jnp.full((W1,), NEG, i32)], axis=1)   # (W1, 3)
-        # j=0 element: "kill" matrix + constant = the boundary state
-        ident = jnp.full((3, 3), NEG, i32)
-        c0 = jnp.stack([pre[0], jnp.asarray(NEG, i32),
-                        jnp.asarray(NEG, i32)])
-        Ms = Ms.at[0].set(ident)
-        cs = cs.at[0].set(c0)
+        if (g <= e <= 0) and (q <= c <= 0) and (g <= c) and (q <= e):
+            # CLOSED FORM under single-gap dominance (opening at least
+            # as costly as extending, both gap types — the spoa
+            # penalty regime): any two-gap composition is beaten by
+            # one longer gap, so
+            #   H_j = max(pre_j, g+(j-1)e + max_{k<j}(pre_k - k e),
+            #                    q+(j-1)c + max_{k<j}(pre_k - k c))
+            # and the exact stored E/Q values follow from H alone by
+            # unrolling their recurrences:
+            #   E_j = g+(j-1)e + max_{k<j}(H_k - k e)   (Q analogous).
+            # Four exclusive prefix maxes replace the 3x3 max-plus
+            # associative scan (measured ~2.9 ms/row -> the whole poa
+            # DP round dropped ~4x; scan kept below for exotic
+            # penalty settings).
+            jre = jr * e
+            jrc = jr * c
 
-        def compose(a, b_):
-            # b after a; max-plus matmul Mo[x,y] = max_k Mb[x,k]+Ma[k,y],
-            # clamped at NEG so -inf stand-ins cannot underflow int32
-            Ma, ca = a
-            Mb, cb = b_
-            Mo = jnp.max(Mb[..., :, :, None] + Ma[..., None, :, :],
-                         axis=-2)
-            co = jnp.max(Mb + ca[..., None, :], axis=-1)
-            co = jnp.maximum(co, cb)
-            return jnp.maximum(Mo, NEG), jnp.maximum(co, NEG)
+            def eprefmax(v):
+                sh = jnp.concatenate(
+                    [jnp.full((1,), NEG, i32), v[:-1]])
+                d = 1
+                while d < W1:
+                    sh = jnp.maximum(sh, jnp.concatenate(
+                        [jnp.full((d,), NEG, i32), sh[:-d]]))
+                    d *= 2
+                return sh
 
-        Msc, csc = lax.associative_scan(compose, (Ms, cs), axis=0)
-        # s_j = csc_j (x0 contribution is inside c0)
-        H_row = jnp.maximum(csc[:, 0], NEG)
-        E_row = csc[:, 1]
-        Q_row = csc[:, 2]
+            A = eprefmax(pre - jre)
+            Bv = eprefmax(pre - jrc)
+            H_row = jnp.maximum(pre, jnp.maximum(
+                g + (jr - 1) * e + A, q + (jr - 1) * c + Bv))
+            H_row = jnp.maximum(H_row, NEG)
+            E_row = jnp.maximum(
+                g + (jr - 1) * e + eprefmax(H_row - jre), NEG)
+            Q_row = jnp.maximum(
+                q + (jr - 1) * c + eprefmax(H_row - jrc), NEG)
+        else:
+            # general max-plus affine scan:
+            # state s=[H,E,Q]; s_j = M (x) s_{j-1} (+) [pre_j, NEG, NEG]
+            M = jnp.array([[max(g, q), e, c],
+                           [g, e, NEG],
+                           [q, NEG, c]], i32)
+            Ms = jnp.broadcast_to(M, (W1, 3, 3))
+            cs = jnp.stack([pre,
+                            jnp.full((W1,), NEG, i32),
+                            jnp.full((W1,), NEG, i32)], axis=1)
+            # j=0 element: "kill" matrix + constant = the boundary state
+            ident = jnp.full((3, 3), NEG, i32)
+            c0 = jnp.stack([pre[0], jnp.asarray(NEG, i32),
+                            jnp.asarray(NEG, i32)])
+            Ms = Ms.at[0].set(ident)
+            cs = cs.at[0].set(c0)
+
+            def compose(a, b_):
+                # b after a; max-plus matmul Mo[x,y]=max_k Mb[x,k]+Ma[k,y],
+                # clamped at NEG so -inf stand-ins cannot underflow int32
+                Ma, ca = a
+                Mb, cb = b_
+                Mo = jnp.max(Mb[..., :, :, None] + Ma[..., None, :, :],
+                             axis=-2)
+                co = jnp.max(Mb + ca[..., None, :], axis=-1)
+                co = jnp.maximum(co, cb)
+                return jnp.maximum(Mo, NEG), jnp.maximum(co, NEG)
+
+            Msc, csc = lax.associative_scan(compose, (Ms, cs), axis=0)
+            # s_j = csc_j (x0 contribution is inside c0)
+            H_row = jnp.maximum(csc[:, 0], NEG)
+            E_row = csc[:, 1]
+            Q_row = csc[:, 2]
 
         # ---- traceback code planes for row i ----
         # The barrier pins the DP row values before the code-plane
@@ -613,8 +655,11 @@ def _convex_dp_codes(node_ch, seq, preds, npred, H0col, F0col, O0col,
         Qm = Qm.at[i].set(Q_row)
         return (Hm, Fm, Om, Em, Qm, plane1, plane2)
 
+    # run only the rows that exist in this batch (padded rows past the
+    # batch-wide max rank count are dead weight: R is the pad)
     Hm, Fm, Om, Em, Qm, plane1, plane2 = lax.fori_loop(
-        0, R, row_step, (Hm, Fm, Om, Em, Qm, plane1, plane2))
+        0, jnp.minimum(nrank, R), row_step,
+        (Hm, Fm, Om, Em, Qm, plane1, plane2))
 
     # NW start: last valid column, first (rank order) max over end rows
     # (reference: strict max_score < sc keeps the first, :459-463)
@@ -626,7 +671,7 @@ def _convex_dp_codes(node_ch, seq, preds, npred, H0col, F0col, O0col,
 
 @partial(jax.jit, static_argnames=("R", "W", "P", "m", "n", "g", "e",
                                    "q", "c", "MAXSTEP"))
-def _poa_align_device(blob, active,
+def _poa_align_device(blob,
                       R, W, P, m, n, g, e, q, c, MAXSTEP):
     """Batched (vmapped) DP + lock-step traceback walk over G windows.
     All per-round inputs arrive as ONE flat int32 blob (array-major:
@@ -654,10 +699,13 @@ def _poa_align_device(blob, active,
      endmask_i, Wlen) = parts
     endmask = endmask_i != 0
 
+    nrank_dev = jnp.max(jnp.sum((node_ch >= 0).astype(jnp.int32),
+                                axis=1))
     plane1, plane2, start_i = jax.vmap(
         partial(_convex_dp_codes, R=R, W=W, P=P, m=m, n=n, g=g, e=e,
-                q=q, c=c))(node_ch, seq, preds, npred, H0col, F0col,
-                           O0col, endmask, Wlen)
+                q=q, c=c), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None)
+        )(node_ch, seq, preds, npred, H0col, F0col,
+          O0col, endmask, Wlen, nrank_dev)
     W1 = W + 1
     p1f = plane1.reshape(G, (R + 1) * W1)
     p2f = plane2.reshape(G, (R + 1) * W1)
@@ -718,6 +766,10 @@ def _poa_align_device(blob, active,
         fin, t = carry[3], carry[4]
         return (~jnp.all(fin)) & (t < MAXSTEP)
 
+    # live windows always have a non-empty query; the padded mask is
+    # derived on device (a separate bool h2d cost ~75 ms of pure
+    # tunnel latency per round)
+    active = Wlen > 0
     carry = (start_i, Wlen, jnp.zeros((G,), i32), ~active,
              jnp.asarray(0, i32), outi0, outj0)
     (_, _, _, _, _, outi, outj) = lax.while_loop(cond, step, carry)
@@ -764,8 +816,11 @@ class ConvexNWEngine:
         Rmax = max(nranks[w] for w in live)
         Wmax = max(len(seqs[w]) for w in live)
         Pmax = max(max(graphs[w].max_in_edges(), 1) for w in live)
-        Rpad = _round_up_pow2(Rmax)
-        Wpad = _round_up_pow2(Wmax)
+        # 64-granular padding: pow2 rounding wasted up to 2x rows/cols
+        # (e.g. W=275 -> 512); the DP cost is R*W so the finer buckets
+        # pay for their extra compiles immediately (cache-persistent)
+        Rpad = _round_up_mult(Rmax, 64)
+        Wpad = _round_up_mult(Wmax, 64)
         Ppad = _round_up_pow2(max(Pmax, 1), 1)
         if Rpad + 1 > 2047:
             raise ValueError(
@@ -808,7 +863,7 @@ class ConvexNWEngine:
             F0.astype(np.int32).ravel(), O0.astype(np.int32).ravel(),
             endmask.astype(np.int32).ravel(), Wlen])
         packed = _poa_align_device(
-            jnp.asarray(blob), jnp.ones(Gn, bool),
+            jnp.asarray(blob),
             R=Rpad, W=Wpad, P=Ppad, m=m_, n=n_, g=g_, e=e_, q=q_,
             c=c_, MAXSTEP=MAXSTEP)
         halves = np.ascontiguousarray(np.asarray(packed)) \
