@@ -41,6 +41,24 @@ MIN_QUAL = 20
 REGION_SIZE = 1500
 REGION_SHIFT = 750
 
+_ENC4 = np.full(256, 4, np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _ENC4[ord(_c)] = _i
+
+
+def _kmer_values(codes: np.ndarray):
+    """(kv int64, ok bool) per position: kv packs the k=15 2-bit codes
+    (30 bits), ok = window has only ACGT.  One global pass replaces the
+    per-window 15-byte-void sorts that dominated the kernel."""
+    n = len(codes) - KMER + 1
+    if n <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    sw = np.lib.stride_tricks.sliding_window_view(codes, KMER)
+    w = (np.int64(1) << (2 * np.arange(KMER, dtype=np.int64)))
+    kv = sw.astype(np.int64) @ w
+    ok = (sw < 4).all(axis=1)
+    return kv, ok
+
 
 @partial(jax.jit, static_argnames=("k",))
 def _admissible_device(seq_is_n, qual, lens, k):
@@ -63,29 +81,42 @@ def _admissible_device(seq_is_n, qual, lens, k):
     return (cur >= MIN_QUAL) & (pos < (lens[:, None] - k))
 
 
-def _window_min_mask(seqs: List[str], quals: List[np.ndarray]) -> List[np.ndarray]:
+def _window_min_mask(seqs: List[str], quals: List[np.ndarray]):
+    """Per read: (admissible mask, packed kmer values, kmer-ok) — the
+    QC mask on device, the kmer packing in one batched numpy pass."""
     if not seqs:
-        return []
+        return [], [], []
     L = max(len(s) for s in seqs)
     Lp = 1 << max(L - 1, 1).bit_length()
     B = len(seqs)
     isn = np.zeros((B, Lp), bool)
     q = np.zeros((B, Lp), np.int32)
+    codes = np.full((B, Lp + KMER), 4, np.uint8)
     lens = np.zeros(B, np.int32)
     for i, (s, qu) in enumerate(zip(seqs, quals)):
-        arr = np.frombuffer(s.encode(), np.uint8)
+        arr = np.frombuffer(s.encode("latin-1"), np.uint8)
         isn[i, :len(s)] = arr == ord("N")
+        codes[i, :len(s)] = _ENC4[arr]
         q[i, :len(qu)] = qu
         lens[i] = len(s)
     ok = np.asarray(_admissible_device(
         jnp.asarray(isn), jnp.asarray(q), jnp.asarray(lens), k=KMER))
-    return [ok[i, :lens[i]] for i in range(B)]
+    sw = np.lib.stride_tricks.sliding_window_view(codes, KMER, axis=1)
+    w = (np.int64(1) << (2 * np.arange(KMER, dtype=np.int64)))
+    kv_all = sw.astype(np.int64) @ w
+    kok_all = (sw < 4).all(axis=2)
+    masks = [ok[i, :lens[i]] for i in range(B)]
+    kvs = [kv_all[i, :max(lens[i] - KMER + 1, 0)] for i in range(B)]
+    koks = [kok_all[i, :max(lens[i] - KMER + 1, 0)] for i in range(B)]
+    return masks, kvs, koks
 
 
 def build_window_graph(ref: str, ref_start: int,
                        reads: List[Tuple[str, np.ndarray, bool]],
                        masks: List[np.ndarray],
-                       stringify: bool = True) -> str:
+                       stringify: bool = True,
+                       ref_kv=None, ref_kok=None,
+                       read_kvs=None, read_koks=None) -> str:
     """Returns the concatenated node-suffix string for one window.
     reads: (seq, qual, qcfail).  With stringify=False the graph is
     still deduplicated (the kernel work) but the output string is not
@@ -98,11 +129,20 @@ def build_window_graph(ref: str, ref_start: int,
     # one stride-tricks gather, and keep the first occurrence of each
     # kmer via np.unique(return_index) — the node value is the suffix
     # from that first insertion
+    if ref_kv is None:
+        ref_kv, ref_kok = _kmer_values(
+            _ENC4[np.frombuffer(ref.encode("latin-1"), np.uint8)])
+    if read_kvs is None:
+        read_kvs = read_koks = [None] * len(reads)
+
     bufs: List[str] = []
     cand_buf: List[np.ndarray] = []
     cand_pos: List[np.ndarray] = []
+    cand_kv: List[np.ndarray] = []
+    all_ok = True
 
-    def add_candidates(buf: str, idx: np.ndarray):
+    def add_candidates(buf: str, idx: np.ndarray, kv, kok):
+        nonlocal all_ok
         if not len(idx):
             return
         bi = len(bufs)
@@ -112,26 +152,44 @@ def build_window_graph(ref: str, ref_start: int,
         pos[1::2] = idx + 1
         cand_buf.append(np.full(len(pos), bi, np.int32))
         cand_pos.append(pos)
+        if kv is None and all_ok:
+            kv, kok = _kmer_values(
+                _ENC4[np.frombuffer(buf.encode("latin-1"), np.uint8)])
+        if kv is not None and all_ok:
+            pc = np.minimum(pos, len(kv) - 1)
+            if len(kv) and bool(kok[pc].all()):
+                cand_kv.append(kv[pc])
+            else:
+                all_ok = False
 
-    add_candidates(ref, np.arange(max(0, len(ref) - KMER - 1)))
-    for (seq, qual, qcfail), ok in zip(reads, masks):
+    add_candidates(ref, np.arange(max(0, len(ref) - KMER - 1)),
+                   ref_kv, ref_kok)
+    for (seq, qual, qcfail), ok, kv, kok in zip(reads, masks,
+                                                read_kvs, read_koks):
         if qcfail:
             continue
         m = len(seq) - KMER - 1
         if m > 0:
-            add_candidates(seq, np.flatnonzero(ok[:m]))
+            add_candidates(seq, np.flatnonzero(ok[:m]), kv, kok)
 
     if not cand_pos:
         return ""
     cb = np.concatenate(cand_buf)
     cp = np.concatenate(cand_pos)
-    lens = np.array([len(b) for b in bufs], np.int64)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    blob = np.frombuffer("".join(bufs).encode("latin-1"), np.uint8)
-    sw = np.lib.stride_tricks.sliding_window_view(blob, KMER)
-    km = np.ascontiguousarray(sw[offs[cb] + cp])
-    kv = km.view(f"V{KMER}")[:, 0]
-    _, first = np.unique(kv, return_index=True)
+    if all_ok and cand_kv:
+        # fast path: 2-bit-packed int64 kmers, one radix-friendly
+        # unique per window (the 15-byte void-dtype sort was ~60% of
+        # the kernel)
+        kv = np.concatenate(cand_kv)
+        _, first = np.unique(kv, return_index=True)
+    else:
+        lens = np.array([len(b) for b in bufs], np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        blob = np.frombuffer("".join(bufs).encode("latin-1"), np.uint8)
+        sw = np.lib.stride_tricks.sliding_window_view(blob, KMER)
+        km = np.ascontiguousarray(sw[offs[cb] + cp])
+        kvb = km.view(f"V{KMER}")[:, 0]
+        _, first = np.unique(kvb, return_index=True)
     if not stringify:
         return ""
     first.sort()
@@ -193,7 +251,8 @@ def run(argv: Sequence[str]) -> int:
     end_arr = [s[1] for s in sel]
     longest = max((e - p for p, e, *_ in sel), default=0)
 
-    masks = _window_min_mask([s[2] for s in sel], [s[3] for s in sel])
+    masks, read_kvs, read_koks = _window_min_mask(
+        [s[2] for s in sel], [s[3] for s in sel])
 
     print(f"Found {max(0, (end - beg + REGION_SHIFT - 1) // REGION_SHIFT)} "
           f"batches. Running with threads: {nthreads}", file=sys.stderr)
@@ -201,6 +260,36 @@ def run(argv: Sequence[str]) -> int:
     roi = ROITimer("dbg", "Kernel runtime: {t:.2f} s")
     out_lines = []
     with roi:
+        # kernel-side precompute (counted in the ROI): global ref kmer
+        # packing and per-read candidate kmer values, interleaved
+        # (i, i+1), computed ONCE — the reference re-hashes each read
+        # in every one of the 2-3 windows covering it
+        ref_codes_g = _ENC4[np.frombuffer(ref_seq.encode("latin-1"),
+                                          np.uint8)]
+        ref_kv_g, ref_kok_g = _kmer_values(ref_codes_g)
+        read_ckv: List = []
+        for (a_, e_, seq_, qual_, qc_), ok_, kv_, kok_ in zip(
+                sel, masks, read_kvs, read_koks):
+            m_ = len(seq_) - KMER - 1
+            if qc_ or m_ <= 0:
+                read_ckv.append(None)
+                continue
+            idx_ = np.flatnonzero(ok_[:m_])
+            if not len(idx_):
+                read_ckv.append(None)
+                continue
+            pos_ = np.empty(2 * len(idx_), np.int64)
+            pos_[0::2] = idx_
+            pos_[1::2] = idx_ + 1
+            if bool(kok_[pos_].all()):
+                read_ckv.append(kv_[pos_])
+            else:
+                read_ckv.append(False)     # window must take byte path
+        nrk = max(len(ref_kv_g) - 1, 0)
+        ref_g2 = np.empty(2 * nrk, np.int64)
+        if nrk:
+            ref_g2[0::2] = ref_kv_g[:-1]
+            ref_g2[1::2] = ref_kv_g[1:]
         for k0 in range(beg, end, REGION_SHIFT):
             assem_start = k0
             assem_end = min(assem_start + REGION_SIZE, end)
@@ -217,10 +306,32 @@ def run(argv: Sequence[str]) -> int:
                 e_i = min(e_i, len(sel))
             else:
                 s_i = e_i = 0
-            wr = [(s[2], s[3], s[4]) for s in sel[s_i:e_i]]
-            wm = masks[s_i:e_i]
-            body = build_window_graph(ref_slice, ref_start, wr, wm,
-                                      stringify=verbose > 0)
+            nc = max(len(ref_slice) - KMER - 1, 0)
+            wckv = read_ckv[s_i:e_i]
+            ref_ok_w = bool(ref_kok_g[ref_start:ref_start + nc + 1]
+                            .all()) if nc else True
+            if (verbose == 0 and ref_ok_w
+                    and not any(c is False for c in wckv)):
+                # dedup-only fast path: pure int64 concat + unique of
+                # precomputed candidate values (output carries no body
+                # at verbose 0, debruijn.cpp:1458-1464)
+                arrs = [ref_g2[2 * ref_start:2 * (ref_start + nc)]]
+                arrs += [c for c in wckv if c is not None]
+                kvw = np.concatenate(arrs) if arrs else ref_g2[:0]
+                if len(kvw):
+                    np.unique(kvw)
+                body = ""
+            else:
+                wr = [(s[2], s[3], s[4]) for s in sel[s_i:e_i]]
+                wm = masks[s_i:e_i]
+                kn = max(len(ref_slice) - KMER + 1, 0)
+                body = build_window_graph(
+                    ref_slice, ref_start, wr, wm,
+                    stringify=verbose > 0,
+                    ref_kv=ref_kv_g[ref_start:ref_start + kn],
+                    ref_kok=ref_kok_g[ref_start:ref_start + kn],
+                    read_kvs=read_kvs[s_i:e_i],
+                    read_koks=read_koks[s_i:e_i])
             out_lines.append(f"{ref_start} {ref_start} {body}")
     if verbose > 0:                 # print_graph = verbose > 0
         for ln in out_lines:

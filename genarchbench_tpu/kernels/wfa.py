@@ -63,6 +63,7 @@ from genarchbench_tpu.io.seqpair_io import SeqPairs, read_seqpairs
 
 NULL = -10              # AFFINE_WAVEFRONT_OFFSET_NULL (affine_wavefront.h:48)
 NEG = -(1 << 29)        # "absent term" for masked maxes (never observable)
+WFA_UNROLL = 4          # score steps per while-loop iteration
 OP_NONE, OP_D, OP_I, OP_X = 0, 1, 2, 3
 BT_M, BT_I, BT_D = 0, 1, 2
 # op codes stored per M cell (backtrace candidate priority order,
@@ -353,11 +354,21 @@ def _wfa_forward(pattern, text, plen, tlen, mmtbl, state,
         return (Mh, Ih, Dh, mlo, mhi, ilo, ihi, dlo, dhi, mex, iex, dex,
                 store, code_carry, sn, done, fscore, foff)
 
+    # UNROLL score steps per while iteration: each step is ~sub-ms of
+    # device work, so per-iteration fixed costs dominate the loop; the
+    # conservative bound (Scap - UNROLL) means a block can never write
+    # past the store — lanes needing the last few scores resume via
+    # the host's grow-and-retry path exactly like a cap overflow
+    def block(st):
+        for _ in range(WFA_UNROLL):
+            st = step(st)
+        return st
+
     def cond(st):
         s, done = st[14], st[15]
-        return (~jnp.all(done)) & (s < Scap - 1)
+        return (~jnp.all(done)) & (s < Scap - WFA_UNROLL)
 
-    out = lax.while_loop(cond, step, state)
+    out = lax.while_loop(cond, block, state)
     # tiny summary so the host learns (all-done, max score) in ONE
     # small d2h instead of two separate syncs (~100 ms/transfer tunnel)
     summary = jnp.stack([jnp.all(out[15]).astype(jnp.int32),
@@ -615,7 +626,7 @@ def _geometry(Lp: int, Lt: int, scap: int):
 
 
 def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
-              max_batch: int = 4096, scap0: int = 64, mesh=None,
+              max_batch: int = 16384, scap0: int = 64, mesh=None,
               red_len: int = 0, red_dist: int = 0) -> List[str]:
     """RLE CIGAR per pair in input order (complete-wavefronts mode).
     With a mesh, pairs shard data-parallel along the batch axis; the

@@ -132,6 +132,11 @@ def readers_lib() -> Optional[ctypes.CDLL]:
         i64, p64, p32, p32, p32, p64, p32, p32, p64, pu8, pu8,
         ctypes.c_int32, i64, i64, ctypes.c_int32, p32,
         p64, pu8, p64, p64, p64, i64]
+    lib.pileup_counts.restype = i64
+    lib.pileup_counts.argtypes = [
+        i64, p64, p32, p32, p32, p64, p32, p32, p64, pu8, pu8,
+        ctypes.c_int32, i64, i64, ctypes.c_int32, p32,
+        p64, pu8, p64, p64, i64]
     pf = ctypes.POINTER(ctypes.c_float)
     lib.peak_detect.restype = i64
     lib.peak_detect.argtypes = [pf, pf, i64, ctypes.c_float,
@@ -319,6 +324,62 @@ def pileup_events_native(flat, chrom_id, start, end, filter_flags,
     if m2 != m:
         return None
     return cov, present.astype(bool), ev_p[:m], ev_j[:m], ev_f[:m]
+
+
+def pileup_cov_native(flat, chrom_id, start, end, filter_flags,
+                      num2countbase):
+    """(cov, present) coverage/presence pass only (no event list)."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    (n, rpos, rflag, rmapq, rrefid, cig_off, cig_op, cig_len,
+     seq_off, nt16, qual) = flat
+    span = end - start
+    cov = np.full(span, -1, np.int64)
+    present = np.zeros(span, np.uint8)
+    n2c = np.ascontiguousarray(num2countbase, np.int32)
+    zero = np.zeros(1, np.int64)
+    lib.pileup_events(
+        n, _as_ptr(rpos, ctypes.c_int64), _as_ptr(rflag, ctypes.c_int32),
+        _as_ptr(rmapq, ctypes.c_int32), _as_ptr(rrefid, ctypes.c_int32),
+        _as_ptr(cig_off, ctypes.c_int64), _as_ptr(cig_op, ctypes.c_int32),
+        _as_ptr(cig_len, ctypes.c_int32), _as_ptr(seq_off, ctypes.c_int64),
+        _as_ptr(nt16, ctypes.c_uint8), _as_ptr(qual, ctypes.c_uint8),
+        chrom_id, start, end, filter_flags, _as_ptr(n2c, ctypes.c_int32),
+        _as_ptr(cov, ctypes.c_int64), _as_ptr(present, ctypes.c_uint8),
+        _as_ptr(zero, ctypes.c_int64), _as_ptr(zero, ctypes.c_int64),
+        _as_ptr(zero, ctypes.c_int64), 0)
+    return cov, present.astype(bool)
+
+
+def pileup_counts_native(flat, chrom_id, start, end, filter_flags,
+                         num2countbase, colof, ncols, width):
+    """Direct count matrix (ncols, width) int64 via the one-pass C
+    scatter; None when the library is unavailable."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    (n, rpos, rflag, rmapq, rrefid, cig_off, cig_op, cig_len,
+     seq_off, nt16, qual) = flat
+    span = end - start
+    cov = np.full(span, -1, np.int64)
+    present = np.zeros(span, np.uint8)
+    n2c = np.ascontiguousarray(num2countbase, np.int32)
+    colof = np.ascontiguousarray(colof, np.int64)
+    mat = np.zeros((max(ncols, 1), width), np.int64)
+    lib.pileup_counts(
+        n, _as_ptr(rpos, ctypes.c_int64), _as_ptr(rflag, ctypes.c_int32),
+        _as_ptr(rmapq, ctypes.c_int32), _as_ptr(rrefid, ctypes.c_int32),
+        _as_ptr(cig_off, ctypes.c_int64), _as_ptr(cig_op, ctypes.c_int32),
+        _as_ptr(cig_len, ctypes.c_int32), _as_ptr(seq_off, ctypes.c_int64),
+        _as_ptr(nt16, ctypes.c_uint8), _as_ptr(qual, ctypes.c_uint8),
+        chrom_id, start, end, filter_flags, _as_ptr(n2c, ctypes.c_int32),
+        _as_ptr(cov, ctypes.c_int64), _as_ptr(present, ctypes.c_uint8),
+        _as_ptr(colof, ctypes.c_int64),
+        _as_ptr(mat, ctypes.c_int64), width)
+    return mat[:ncols]
 
 
 def sais_native(codes):

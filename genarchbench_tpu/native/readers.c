@@ -463,7 +463,12 @@ int64_t minimizer_scan(const uint64_t *h, int64_t n, int64_t window,
  * max insertion length (cov, init -1) and presence flags.  feat layout
  * = FEATLEN * qstratum + base_index, deletions FWD_DEL/REV_DEL at
  * stratum 0.  Two-pass: cap == 0 counts only.  Returns event count. */
-int64_t pileup_events(
+/* One walk, two modes: mat==NULL -> coverage/presence pass (and
+   optionally the flat event list when cap>0); mat!=NULL -> scatter
+   counts straight into the (ncols, width) matrix using the caller's
+   per-position column offsets (saves materializing ~3 int64 arrays
+   per event plus a host histogram pass). */
+int64_t pileup_events_impl(
     int64_t n_records, const int64_t *rpos, const int32_t *rflag,
     const int32_t *rmapq, const int32_t *rrefid,
     const int64_t *cig_off, const int32_t *cig_op, const int32_t *cig_len,
@@ -471,7 +476,8 @@ int64_t pileup_events(
     int32_t chrom_id, int64_t start, int64_t end,
     int32_t filter_flags, const int32_t *num2countbase,
     int64_t *cov, uint8_t *present,
-    int64_t *ev_p, int64_t *ev_j, int64_t *ev_f, int64_t cap) {
+    int64_t *ev_p, int64_t *ev_j, int64_t *ev_f, int64_t cap,
+    const int64_t *colof, int64_t *mat, int64_t width) {
     const int FEATLEN = 10, FWD_DEL = 9, REV_DEL = 8, NUM_HOMOP = 5;
     int64_t m = 0;
     for (int64_t r = 0; r < n_records; r++) {
@@ -511,7 +517,10 @@ int64_t pileup_events(
                         int qs = qu[qp + i + j];
                         if (qs > NUM_HOMOP) qs = NUM_HOMOP;
                         qs = qs - 1; if (qs < 0) qs = 0;
-                        if (cap) {
+                        if (mat) {
+                            mat[(colof[o] + j) * width
+                                + FEATLEN * qs + fi]++;
+                        } else if (cap) {
                             ev_p[m] = o; ev_j[m] = j;
                             ev_f[m] = FEATLEN * qs + fi;
                         }
@@ -528,7 +537,10 @@ int64_t pileup_events(
                     int64_t o = p - start;
                     present[o] = 1;
                     if (cov[o] < 0) cov[o] = 0;
-                    if (cap) {
+                    if (mat) {
+                        mat[colof[o] * width
+                            + (rev ? REV_DEL : FWD_DEL)]++;
+                    } else if (cap) {
                         ev_p[m] = o; ev_j[m] = 0;
                         ev_f[m] = rev ? REV_DEL : FWD_DEL;
                     }
@@ -549,6 +561,38 @@ int64_t pileup_events(
         }
     }
     return m;
+}
+
+int64_t pileup_events(
+    int64_t n_records, const int64_t *rpos, const int32_t *rflag,
+    const int32_t *rmapq, const int32_t *rrefid,
+    const int64_t *cig_off, const int32_t *cig_op, const int32_t *cig_len,
+    const int64_t *seq_off, const uint8_t *nt16, const uint8_t *qual,
+    int32_t chrom_id, int64_t start, int64_t end,
+    int32_t filter_flags, const int32_t *num2countbase,
+    int64_t *cov, uint8_t *present,
+    int64_t *ev_p, int64_t *ev_j, int64_t *ev_f, int64_t cap) {
+    return pileup_events_impl(
+        n_records, rpos, rflag, rmapq, rrefid, cig_off, cig_op,
+        cig_len, seq_off, nt16, qual, chrom_id, start, end,
+        filter_flags, num2countbase, cov, present, ev_p, ev_j, ev_f,
+        cap, 0, 0, 0);
+}
+
+int64_t pileup_counts(
+    int64_t n_records, const int64_t *rpos, const int32_t *rflag,
+    const int32_t *rmapq, const int32_t *rrefid,
+    const int64_t *cig_off, const int32_t *cig_op, const int32_t *cig_len,
+    const int64_t *seq_off, const uint8_t *nt16, const uint8_t *qual,
+    int32_t chrom_id, int64_t start, int64_t end,
+    int32_t filter_flags, const int32_t *num2countbase,
+    int64_t *cov, uint8_t *present,
+    const int64_t *colof, int64_t *mat, int64_t width) {
+    return pileup_events_impl(
+        n_records, rpos, rflag, rmapq, rrefid, cig_off, cig_op,
+        cig_len, seq_off, nt16, qual, chrom_id, start, end,
+        filter_flags, num2countbase, cov, present, 0, 0, 0, 0,
+        colof, mat, width);
 }
 
 /* short_long_peak_detector (abea events.c:370-470): two-detector
