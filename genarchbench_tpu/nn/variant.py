@@ -435,35 +435,85 @@ _BASE_CODE = {"A": 25, "C": 50, "G": 75, "T": 100}
 
 
 def phase_hets(records, het_positions, het_alts, chrom_id: int):
-    """Greedy read-graph 2-coloring over het SNPs: the role whatshap
-    phase + haplotag plays in the pipeline (Clair3/scripts/clair3.sh
-    :173-194).  Returns {read_name: 1|2} haplotags."""
+    """Read-based het-SNP phasing — the role whatshap phase + haplotag
+    plays in the pipeline (Clair3/scripts/clair3.sh:173-194).
+
+    Spanning-forest parity phasing (the HapCUT/whatshap graph model):
+    every read contributes allele observations (+1 alt / -1 ref) at the
+    hets it covers; het pairs co-covered by reads get an agreement
+    weight w = sum of allele products; pairs are committed strongest
+    first into a parity union-find (s_i * s_j = sign(w)), which is
+    exactly a maximum-weight spanning forest of the conflict graph —
+    the wMEC heuristic whatshap reduces to at high confidence.  Reads
+    are then haplotagged by majority vote against the component phase;
+    ambiguous reads (tied vote) stay untagged, like whatshap haplotag.
+    Returns {read_name: 1|2}."""
     from genarchbench_tpu.kernels.pileup import FILTER_FLAGS
+    pos_list = sorted(set(het_positions))
     pos_alt = dict(zip(het_positions, het_alts))
-    # haplotype 1 votes per read: +1 if read carries ref, -1 if alt —
-    # seeded by the first het; later hets follow accumulated assignments
-    tags: Dict[str, int] = {}
-    for p in sorted(pos_alt):
-        votes = 0.0
-        carriers = []
-        for r in records:
-            if r.ref_id != chrom_id or (r.flag & FILTER_FLAGS):
-                continue
+    pidx = {p: i for i, p in enumerate(pos_list)}
+    n = len(pos_list)
+
+    # per read: observed alleles at covered hets
+    read_obs: List[Tuple[str, List[Tuple[int, int]]]] = []
+    for r in records:
+        if r.ref_id != chrom_id or (r.flag & FILTER_FLAGS):
+            continue
+        obs = []
+        for p in pos_list:
             if not (r.pos <= p < r.pos + r.ref_span()):
                 continue
             qpos = _qpos_at(r, p)
             if qpos is None:
                 continue
-            has_alt = r.seq[qpos].upper() == pos_alt[p]
-            carriers.append((r.qname, has_alt))
-            if r.qname in tags:
-                votes += (1 if tags[r.qname] == 2 else -1) * \
-                    (1 if has_alt else -1)
-        orient = 1 if votes >= 0 else -1
-        for qname, has_alt in carriers:
-            if qname not in tags:
-                hap2 = has_alt if orient > 0 else not has_alt
-                tags[qname] = 2 if hap2 else 1
+            a = 1 if r.seq[qpos].upper() == pos_alt[p] else -1
+            obs.append((pidx[p], a))
+        if obs:
+            read_obs.append((r.qname, obs))
+
+    # pairwise agreement weights from co-covering reads
+    w: Dict[Tuple[int, int], int] = {}
+    for _, obs in read_obs:
+        for k in range(len(obs)):
+            i, ai = obs[k]
+            for l in range(k + 1, len(obs)):
+                j, aj = obs[l]
+                key = (i, j) if i < j else (j, i)
+                w[key] = w.get(key, 0) + ai * aj
+
+    # maximum-|weight| spanning forest with parity union-find
+    parent = list(range(n))
+    rel = [1] * n                  # phase of node relative to its parent
+
+    def find(x):
+        if parent[x] == x:
+            return x, 1
+        root, r_ = find(parent[x])
+        parent[x] = root
+        rel[x] *= r_
+        return root, rel[x]
+
+    for (i, j), wij in sorted(w.items(),
+                              key=lambda kv: (-abs(kv[1]), kv[0])):
+        if wij == 0:
+            continue
+        ri, si = find(i)
+        rj, sj = find(j)
+        if ri == rj:
+            continue               # parity fixed already (forest edge)
+        # want s_i * s_j = sign(wij):  rel[rj -> ri]
+        parent[rj] = ri
+        rel[rj] = si * sj * (1 if wij > 0 else -1)
+
+    phase = [find(i)[1] for i in range(n)]
+
+    tags: Dict[str, int] = {}
+    for qname, obs in read_obs:
+        score = sum(a * phase[i] for i, a in obs)
+        if score > 0:
+            tags[qname] = 2
+        elif score < 0:
+            tags[qname] = 1
     return tags
 
 
@@ -477,56 +527,160 @@ def _qpos_at(r, p: int) -> Optional[int]:
     return None
 
 
+# CreateTensorFullAlignment.py:26-31 constants
+FA_MAX_BQ, FA_MAX_MQ = 40.0, 60.0
+FA_STRAND_0, FA_STRAND_1 = 100, 50
+FA_HAP_TYPE = {1: 30, 0: 60, 2: 90}            # hap1 UNKNOWN hap2
+FA_ACGT_NUM = dict(zip("ACGT+-*#N",
+                       (100, 25, 75, 50, -50, -100, 0, 0, 100)))
+
+
+def _fa_evc_base(base: str) -> str:
+    """evc_base_from (CreateTensorFullAlignment.py:92-103)."""
+    if base == "N":
+        return "A"
+    if base == "n":
+        return "a"
+    if base in "ACGTacgt":
+        return base
+    return "A" if base.isupper() else "a"
+
+
 def full_alignment_tensor(records, chrom_id: int, center: int,
                           ref_seq: str, haplotags: Optional[Dict[str, int]]
                           = None, depth: int = FA_DEPTH_ONT) -> np.ndarray:
-    """(depth, 33, 8) full-alignment tensor around `center`, one row per
-    spanning read (channel order shared/param_f.py:21-24:
-    reference_base, alternative_base, mapping_quality, base_quality,
-    strand_info, variant_type, insert_base, phasing_info), values on the
-    reference's 0-100 scale (NORMALIZE_NUM)."""
-    from genarchbench_tpu.kernels.pileup import FILTER_FLAGS, _read_events
-    t = np.zeros((depth, NO_OF_POSITIONS, FA_CHANNELS), np.int32)
+    """(rows, 33, 8) full-alignment tensor around `center`, exact
+    CreateTensorFullAlignment.py semantics: per-cell channels from
+    get_tensor_info (:136-169 — note the CODE's layout is ref, alt,
+    strand, mq, bq, af, ins, hap; the param_f.py channel-name tuple
+    lists a different order than the indices the code writes),
+    insertion bases spread over following columns (:358-361), the
+    per-read center-allele frequency and haplotype written onto
+    non-deletion columns (:363-381), and rows ordered by
+    sorted_by_hap_read_name (:105-134: window first-seen order,
+    seed-0 random downsample past matrix_depth, then stable
+    (hap, order) sort)."""
+    import random as _random
+    from genarchbench_tpu.kernels.pileup import _read_events
     lo = center - FLANKING
     hi = center + FLANKING + 1
-    ref_row = np.zeros(NO_OF_POSITIONS, np.int32)
-    for col, p in enumerate(range(lo, hi)):
-        if 0 <= p < len(ref_seq):
-            ref_row[col] = _BASE_CODE.get(ref_seq[p].upper(), 0)
-    row = 0
+
+    # per covering read: per-position (base_str, indel_str, bq) events
+    reads_info = []                        # (first_p, qname, events, mq, hap)
     for r in records:
-        if row >= depth:
-            break
-        if r.ref_id != chrom_id or (r.flag & FILTER_FLAGS) or r.mapq < 5:
+        if r.ref_id != chrom_id or (r.flag & CLAIR3_FILTER_FLAGS) \
+                or r.mapq < CLAIR3_MIN_MQ:
             continue
-        if not (r.pos <= center < r.pos + r.ref_span()):
+        if r.pos >= hi or r.pos + r.ref_span() <= lo:
             continue
-        t[row, :, 0] = ref_row
-        t[row, :, 2] = min(int(r.mapq), 100)
-        t[row, :, 4] = 50 if r.is_reverse else 100
-        if haplotags and r.qname in haplotags:
-            t[row, :, 7] = 50 * haplotags[r.qname]
         pos, is_del, is_skip, qpos, indel = _read_events(r)
+        rev = r.is_reverse
+        ev: Dict[int, tuple] = {}
+        first_p = None
         for p, d, sk, q, ind in zip(pos, is_del, is_skip, qpos, indel):
             if p < lo or p >= hi or sk:
                 continue
-            col = p - lo
+            if first_p is None:
+                first_p = int(p)
             if d:
-                t[row, col, 5] = 75                      # deletion body
+                ev[int(p)] = ("#" if rev else "*", "", 0)
                 continue
-            b = _BASE_CODE.get(r.seq[q].upper(), 0)
-            if b and b != ref_row[col]:
-                t[row, col, 1] = b                       # alternative base
-            t[row, col, 3] = min(int(r.qual[q]), 100)
+            b = r.seq[q]
+            base = b.lower() if rev else b.upper()
+            ind_s = ""
             if ind > 0:
-                t[row, col, 5] = 50                      # insertion start
-                t[row, col, 6] = _BASE_CODE.get(
-                    r.seq[q + 1].upper(), 0)
+                ins = r.seq[q + 1:q + 1 + ind]
+                ind_s = "+" + (ins.lower() if rev else ins.upper())
             elif ind < 0:
-                t[row, col, 5] = 25                      # deletion start
-            elif b and b != ref_row[col]:
-                t[row, col, 5] = 100                     # SNP
-        row += 1
+                dl = ref_seq[p + 1:p + 1 - ind]
+                ind_s = "-" + (dl.lower() if rev else dl.upper())
+            ev[int(p)] = (base, ind_s, int(r.qual[q]))
+        if first_p is None:
+            continue
+        hap = haplotags.get(r.qname, 0) if haplotags else 0
+        reads_info.append((first_p, r.qname, ev, int(r.mapq), hap))
+
+    # window first-seen order = (first covered position, record order)
+    order_idx = sorted(range(len(reads_info)),
+                       key=lambda i: (reads_info[i][0], i))
+    if len(order_idx) > depth:
+        _random.seed(0)
+        keep = sorted(_random.sample(range(len(order_idx)), depth))
+        order_idx = [order_idx[i] for i in keep]
+    rows = sorted(range(len(order_idx)),
+                  key=lambda k: (reads_info[order_idx[k]][4], k))
+
+    n_rows = len(rows)
+    t = np.zeros((n_rows, NO_OF_POSITIONS, FA_CHANNELS), np.int32)
+    if n_rows == 0:
+        return t
+
+    # center-position allele counts for the af channel (:335-350)
+    alt_dict: Dict[str, int] = {}
+    cdepth = 0
+    for first_p, qn, ev, mq, hap in reads_info:
+        info = ev.get(center)
+        if info is None:
+            continue
+        base, ind_s, bq = info
+        cdepth += 1
+        if base in "#*":
+            continue
+        bu = base.upper()
+        if ind_s:
+            if ind_s[0] == "+":
+                alt_dict["+" + bu + ind_s[1:].upper()] = \
+                    alt_dict.get("+" + bu + ind_s[1:].upper(), 0) + 1
+            else:
+                alt_dict[ind_s.upper()] = \
+                    alt_dict.get(ind_s.upper(), 0) + 1
+        elif bu != ref_seq[center].upper():
+            alt_dict[bu] = alt_dict.get(bu, 0) + 1
+
+    for ridx, k in enumerate(rows):
+        first_p, qn, ev, mq, hap = reads_info[order_idx[k]]
+        mqn = int(100 * min(mq, FA_MAX_MQ) / FA_MAX_MQ)
+        for p, (base, ind_s, bq) in ev.items():
+            off = p - lo
+            if base in "#*":
+                continue                    # all-zero cell
+            bu = base.upper()
+            alt = 0
+            if ind_s:
+                alt = FA_ACGT_NUM[ind_s[0]]
+            elif bu != ref_seq[p].upper() and bu in "ACGT":
+                alt = FA_ACGT_NUM[_fa_evc_base(bu).upper()]
+            strand = FA_STRAND_0 if base in "ACGT" else FA_STRAND_1
+            t[ridx, off, 0] = FA_ACGT_NUM[ref_seq[p].upper()]
+            t[ridx, off, 1] = alt
+            t[ridx, off, 2] = strand
+            t[ridx, off, 3] = mqn
+            t[ridx, off, 4] = int(100 * min(bq, FA_MAX_BQ) / FA_MAX_BQ)
+            # insertion bases spread over following columns (:358-361)
+            if ind_s and ind_s[0] == "+" and p < hi - 1:
+                ins = ind_s[1:].upper()
+                for ii in range(min(len(ins), NO_OF_POSITIONS - off)):
+                    t[ridx, off + ii, 6] = FA_ACGT_NUM[ins[ii]]
+        # af + hap on non-deletion columns (:363-381)
+        af_num = 0
+        info = ev.get(center)
+        if info is not None:
+            base, ind_s, bq = info
+            bu = base.upper()
+            key = None
+            if ind_s:
+                key = ("+" + bu + ind_s[1:].upper()) if ind_s[0] == "+" \
+                    else ind_s.upper()
+            elif bu in alt_dict:
+                key = bu
+            if key is not None and key in alt_dict:
+                af_num = alt_dict[key] / max(1.0, float(cdepth))
+        if af_num != 0:
+            af_num = int(100 * min(af_num, 1.0))
+        hap_t = FA_HAP_TYPE[hap]
+        nz = t[ridx, :, 2] != 0
+        t[ridx, nz, 5] = af_num
+        t[ridx, nz, 7] = hap_t
     return t
 
 

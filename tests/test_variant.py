@@ -267,16 +267,17 @@ def test_full_alignment_tensor_channels():
     alt = "A" if ref[200] != "A" else "G"
     records = _two_hap_records(rng, ref, {200: alt})
     t = var.full_alignment_tensor(records, 0, 200, ref)
-    spanning = sum(1 for r in records if r.pos <= 200 < r.pos + 200)
-    used = min(spanning, var.FA_DEPTH_ONT)
-    # ref-base channel set on every used row at the center column
+    used = t.shape[0]
+    # ref-base channel (CreateTensorFullAlignment ACGT_NUM scale) on
+    # every row at the center column
     center = var.FLANKING
-    assert (t[:used, center, 0] == var._BASE_CODE[ref[200]]).all()
+    assert (t[:used, center, 0] == var.FA_ACGT_NUM[ref[200]]).all()
     # half the rows carry the alt in channel 1 (alternative base)
-    n_alt = int((t[:used, center, 1] == var._BASE_CODE[alt]).sum())
+    n_alt = int((t[:used, center, 1] == var.FA_ACGT_NUM[alt]).sum())
     assert 0 < n_alt < used
-    # strand/mapq channels populated
-    assert set(np.unique(t[:used, center, 2])) == {40}
+    # strand channel (index 2 in the code's layout) is 50/100
+    assert set(np.unique(t[:used, center, 2])) <= {50, 100}
+    assert len(np.unique(t[:used, center, 2])) >= 1
 
 
 def test_merge_vcf_rows_examined_wins():
@@ -404,3 +405,112 @@ def test_pileup_tensor_matches_clair3_generate_tensor():
         want, *_ = gen(p, s, ref, 0, ref[p], 0.08, 0.08, 0.15,
                        "ont", False, False)
         assert list(t[col]) == list(want), (col, p, s, list(t[col]), want)
+
+
+def _load_clair3_fa_module():
+    import importlib
+    import sys as _sys
+    clair3 = "/root/reference/benchmarks/nn-variant/Clair3"
+    if clair3 not in _sys.path:
+        _sys.path.insert(0, clair3)
+    try:
+        mod = importlib.import_module(
+            "preprocess.CreateTensorFullAlignment")
+    except Exception as e:
+        pytest.skip(f"cannot import Clair3 FA oracle: {e}")
+    return mod
+
+
+def test_full_alignment_tensor_matches_clair3():
+    """Drive Clair3's own generate_tensor (CreateTensorFullAlignment
+    .py:306-430) with Position objects built from the same reads and
+    compare the whole (depth, 33, 8) tensor cell for cell."""
+    fa = _load_clair3_fa_module()
+    from genarchbench_tpu.io import bam_io
+    from genarchbench_tpu.kernels.pileup import _read_events
+    from genarchbench_tpu.nn import variant as var_mod
+
+    rng = np.random.default_rng(23)
+    ref = "".join("ACGT"[c] for c in rng.integers(0, 4, 400))
+    center = 200
+    records = []
+    for i in range(120):                    # > matrix_depth: downsample
+        pos = int(rng.integers(140, 196))
+        ln = int(rng.integers(40, 80))
+        s = list(ref[pos:pos + ln])
+        cig = [(0, ln)]
+        kind = i % 5
+        at = center - pos
+        if kind == 1 and 0 <= at < ln:
+            s[at] = "A" if ref[center] != "A" else "G"
+        elif kind == 2 and 3 <= at < ln - 4:
+            nins = 1 + i % 3
+            cig = [(0, at + 1), (1, nins), (0, ln - at - 1)]
+            s = s[:at + 1] + list("TGA"[:nins]) + s[at + 1:]
+        elif kind == 3 and 3 <= at < ln - 5:
+            dl = 1 + i % 2
+            cig = [(0, at + 1), (2, dl), (0, ln - at - 1 - dl)]
+            s = s[:at + 1] + s[at + 1 + dl:]
+        seq = "".join(s)
+        qual = rng.integers(10, 50, len(seq)).astype(np.uint8)
+        records.append(bam_io.BamRecord(
+            f"r{i:03d}", 0 if i % 3 else 16, 0, pos, 5 + i % 55, cig,
+            seq, qual))
+    records.sort(key=lambda r: r.pos)
+    haplotags = {f"r{i:03d}": (i % 3) for i in range(120)}  # 0/1/2 mix
+
+    # ---- build the oracle's pileup_dict from the same reads ----
+    lo, hi = center - var_mod.FLANKING, center + var_mod.FLANKING + 1
+    per_pos = {}
+    for r in records:
+        if (r.flag & var_mod.CLAIR3_FILTER_FLAGS) \
+                or r.mapq < var_mod.CLAIR3_MIN_MQ:
+            continue
+        pos, is_del, is_skip, qpos, indel = _read_events(r)
+        rev = r.is_reverse
+        for p, d, sk, q, ind in zip(pos, is_del, is_skip, qpos, indel):
+            if p < lo or p >= hi or sk:
+                continue
+            if d:
+                base, ind_s, bq = ("#" if rev else "*"), "", 0
+            else:
+                b = r.seq[q]
+                base = b.lower() if rev else b.upper()
+                ind_s = ""
+                if ind > 0:
+                    ins = r.seq[q + 1:q + 1 + ind]
+                    ind_s = "+" + (ins.lower() if rev else ins.upper())
+                elif ind < 0:
+                    dl = ref[p + 1:p + 1 - ind]
+                    ind_s = "-" + (dl.lower() if rev else dl.upper())
+                bq = int(r.qual[q])
+            e = per_pos.setdefault(int(p), ([], [], [], []))
+            e[0].append(r.qname)
+            e[1].append((base, ind_s))
+            e[2].append(chr(bq + 33))
+            e[3].append(chr(int(r.mapq) + 33))
+    pileup_dict = {}
+    for p, (names, bases, bqs, mqs) in per_pos.items():
+        pileup_dict[p] = fa.Position(
+            pos=p, ref_base=ref[p], read_name_list=names,
+            base_list=bases, raw_base_quality=bqs,
+            raw_mapping_quality=mqs)
+    hap_dict = {q: 0 for q in haplotags}
+    srnl = fa.sorted_by_hap_read_name(
+        center, haplotags, pileup_dict, hap_dict, "ont")
+    out, alt_info = fa.generate_tensor(
+        "c", center, srnl, pileup_dict, ref[lo:hi], ref, 0, "ont",
+        {}, False)
+    assert out is not None
+    fields = out.split("\t")
+    flat = np.array([int(x) for x in fields[3].split()], np.int32)
+    want = flat.reshape(len(srnl), var_mod.NO_OF_POSITIONS,
+                        var_mod.FA_CHANNELS)
+
+    got = var_mod.full_alignment_tensor(records, 0, center, ref,
+                                        haplotags=haplotags)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    mism = np.nonzero(got != want)
+    assert got.shape == want.shape and not len(mism[0]), \
+        (mism[0][:5], mism[1][:5], mism[2][:5],
+         got[mism][:10], want[mism][:10])
