@@ -50,6 +50,22 @@ def _bsw_scores(lines: List[str]) -> List[str]:
     return [ln for ln in lines if "score=" in ln]
 
 
+def _vcf_body_cut(lines: List[str]) -> List[str]:
+    """nn-variant after_run: drop headers, keep fields 1-5,7-9,
+    dedupe (diff of `grep -v ^# | sort -u -k2,2n | cut -f1-5,7-9`)."""
+    out = []
+    seen = set()
+    for ln in lines:
+        if ln.startswith("#") or not ln.strip():
+            continue
+        f = ln.split("\t")
+        key = "\t".join(f[:5] + f[6:9])
+        if key not in seen:
+            seen.add(key)
+            out.append(key)
+    return out
+
+
 def table(size: str) -> List[DatasetReg]:
     """The per-kernel binding table for `small` or `large` (source
     regression scripts cited per row)."""
@@ -150,6 +166,29 @@ def table(size: str) -> List[DatasetReg]:
                     "-o", "{out}/events.tsv", "-t", "1"],
                    "{root}/abea/%s-reference.tsv" % size,
                    "tolerant_abea", "file:events.tsv"),
+        # nn-base/scripts/regression_{small,large}.sh: bonito-model
+        # basecall over the dataset reads dir; out.fastq diffed exactly
+        # (the model tar ships with the benchmark tree, bound here
+        # under the same root)
+        DatasetReg("nn-base",
+                   ["{root}/nn-base/models/bonito_dna_r941",
+                    "{root}/nn-base/%s/reads" % size,
+                    "--chunksize", "3000", "--fastq"],
+                   "{root}/nn-base/%s/reference.out.fastq" % size,
+                   "exact", "stdout"),
+        # nn-variant/scripts/regression_{small,large}.sh: Clair3 VCF
+        # body fields 1-5,7-9, deduped + sorted (after_run diff shape)
+        DatasetReg("nn-variant",
+                   ["--bam", "{root}/nn-variant/HG002_GRCh38_ONT-UL_"
+                    "GIAB_20200122_chr20_0_10000000.phased.bam",
+                    "--ref", "{root}/nn-variant/hg38_chr20.fa",
+                    "--region",
+                    "chr20:100000-200000" if small
+                    else "chr20:10000-9990000",
+                    "--output", "{out}/out.vcf"],
+                   "{root}/nn-variant/HG002_chr20_%s_reference.vcf"
+                   % ("100000_200000" if small else "10000_9990000"),
+                   "sorted", "file:out.vcf", _vcf_body_cut),
     ]
     return rows
 
