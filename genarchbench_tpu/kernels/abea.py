@@ -445,8 +445,11 @@ def _abea_backtrace_device(bands, traces, blls, ranks, ev_mean,
     ok_s = (off_s >= 0) & (off_s < W) & (eis < n_ev[:, None])
     val_s = jnp.take(bands_f, (bi_c * B + lane[:, None]) * W
                      + jnp.clip(off_s, 0, W - 1))
-    score_s = val_s + ((n_ev[:, None] - eis).astype(f64)
-                       * lp_trim[:, None]).astype(f32)
+    # band value + trim product summed in f64, ONE rounding to f32 —
+    # the reference computes the whole candidate in double and rounds
+    # once (ADVICE r3: double-rounding could flip near-tie argmaxes)
+    score_s = (c64(val_s) + (n_ev[:, None] - eis).astype(f64)
+               * c64(lp_trim[:, None])).astype(f32)
     score_s = jnp.where(ok_s, score_s, -jnp.inf)
     e0 = jnp.argmax(score_s, axis=1).astype(i32)     # first max = host >
 
@@ -466,12 +469,20 @@ def _abea_backtrace_device(bands, traces, blls, ranks, ev_mean,
         em = jnp.take_along_axis(
             ev_mean, jnp.clip(ce, 0, ev_mean.shape[1] - 1)[:, None],
             axis=1)[:, 0]
-        gp_mean = c32(c64(scales) * jnp.take(lm, kr) + c64(shifts))
+        # exact C float sequence (log_probability_match_r9 +
+        # log_normal_pdf, align.c:99-144): f32 multiply THEN f32 add
+        # for gp_mean, and the lp term rounded to f32 before the f64
+        # accumulation — each op an f64 compute + f32 cast (FMA-immune),
+        # the same per-op emulation the band scan uses (ADVICE r3)
+        gp_mean = c32(c64(c32(c64(scales) * c64(jnp.take(lm, kr))))
+                      + c64(shifts))
         d_ = em - gp_mean                            # f32 - f32
-        a = c32(c64(d_) / jnp.take(lsd, kr))
-        e_term = (c64(jnp.float32(-0.918938)) - jnp.take(llsd, kr)
-                  + c64(c32(c32(jnp.float32(-0.5) * a) * a)))
-        sum_em = jnp.where(act, sum_em + e_term, sum_em)
+        a = c32(c64(d_) / c64(jnp.take(lsd, kr)))
+        t1 = c32(c64(jnp.float32(-0.918938))
+                 - c64(jnp.take(llsd, kr)))
+        t2 = c32(c64(c32(c64(jnp.float32(-0.5)) * c64(a))) * c64(a))
+        lp = c32(c64(t1) + c64(t2))
+        sum_em = jnp.where(act, sum_em + c64(lp), sum_em)
         n_al = jnp.where(act, n_al + 1, n_al)
 
         fr_out = lax.dynamic_update_slice(

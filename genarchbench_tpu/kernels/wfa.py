@@ -736,7 +736,13 @@ def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
             # min(e, x), so max-final-score (already on host via the
             # forward summary) bounds the step count — no extra d2h
             # sync on res[0]
-            nsteps = min(int(summ[1]) // max(min(e, x), 1) + 3, scap)
+            if min(e, x) >= 1:
+                nsteps = min(int(summ[1]) // min(e, x) + 3, scap)
+            else:
+                # degenerate penalties (CLI -G 0 / -x 0): the
+                # score-derived bound is invalid - sync the exact
+                # device step count instead (ADVICE r3)
+                nsteps = int(np.asarray(res[0]))
             if max(D, Lp + 2, Lt + 2, scap) < (1 << 15):
                 T = min(_round_up(max(nsteps, 1), 32), scap)
                 nm8 = Lp <= 127
