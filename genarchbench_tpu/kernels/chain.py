@@ -256,6 +256,44 @@ def _chain_dp_device(x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
     return scores, parents, peaks
 
 
+@partial(jax.jit, static_argnames=("B", "N", "CK", "T",
+                                   "with_heuristics", "use_table"))
+def _chain_dp_blob(blob, B, N, CK, T, with_heuristics, use_table):
+    """Single-transfer wrapper: all per-plan inputs arrive as ONE
+    uint32 blob (the tunnel charges ~50-100 ms latency per transfer —
+    11 h2d + 3 d2h per plan dominated warm runs), outputs leave as ONE
+    stacked (3, B, N) int32 array."""
+    off = [0]
+
+    def take(sz, shape, dt):
+        part = lax.slice(blob, (off[0],), (off[0] + sz,))
+        off[0] += sz
+        arr = part.reshape(shape)
+        if dt is jnp.uint32:
+            return arr
+        return lax.bitcast_convert_type(arr, dt)
+
+    x_lo = take(B * N, (B, N), jnp.uint32)
+    qi = take(B * N, (B, N), jnp.int32)
+    span = take(B * N, (B, N), jnp.int32)
+    sid = take(B * N, (B, N), jnp.int32)
+    st = take(B * N, (B, N), jnp.int32)
+    n = take(B, (B,), jnp.int32)
+    mdx = take(B, (B,), jnp.int32)
+    mdy = take(B, (B,), jnp.int32)
+    bw = take(B, (B,), jnp.int32)
+    nsegs = take(B, (B,), jnp.int32)
+    avg32 = take(B, (B,), jnp.float32)
+    corr_dd = take(B * CK, (B, CK), jnp.int32)
+    corr_delta = take(B * CK, (B, CK), jnp.int32)
+    clin = take(B * T, (B, T), jnp.int32)
+    scores, parents, peaks = _chain_dp_device(
+        x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
+        avg32, corr_dd, corr_delta,
+        with_heuristics=with_heuristics, use_table=use_table)
+    return jnp.stack([scores, parents, peaks])
+
+
 def chain_batch(records: Sequence[chain_io.ChainRecord],
                 with_heuristics: bool = True,
                 cell_budget: int = 1 << 23, mesh=None) -> List[tuple]:
@@ -299,17 +337,30 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
         else:
             clin = np.zeros((B, 1), np.int32)
 
-        (x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin, avg32,
-         corr_dd, corr_delta) = shard_args(
-            mesh, x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
-            clin, avg32, corr_dd, corr_delta)
-        scores, parents, peaks = _chain_dp_device(
-            x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
-            avg32, corr_dd, corr_delta,
-            with_heuristics=with_heuristics, use_table=use_table)
-        scores = np.asarray(scores)
-        parents = np.asarray(parents)
-        peaks = np.asarray(peaks)
+        single = mesh is None or getattr(mesh, "size", 1) == 1
+        if single:
+            u = lambda a: np.ascontiguousarray(a).view(np.uint32).ravel()
+            blob = np.concatenate([
+                u(x_lo), u(qi), u(span), u(sid), u(st), u(n), u(mdx),
+                u(mdy), u(bw), u(nsegs), u(avg32), u(corr_dd),
+                u(corr_delta), u(clin)])
+            out = np.asarray(_chain_dp_blob(
+                jnp.asarray(blob), B=B, N=N, CK=CORR_K,
+                T=clin.shape[1], with_heuristics=with_heuristics,
+                use_table=use_table))
+            scores, parents, peaks = out[0], out[1], out[2]
+        else:
+            (x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
+             avg32, corr_dd, corr_delta) = shard_args(
+                mesh, x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
+                clin, avg32, corr_dd, corr_delta)
+            scores, parents, peaks = _chain_dp_device(
+                x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
+                avg32, corr_dd, corr_delta,
+                with_heuristics=with_heuristics, use_table=use_table)
+            scores = np.asarray(scores)
+            parents = np.asarray(parents)
+            peaks = np.asarray(peaks)
         for b, k in enumerate(plan.indices):
             m = records[k].n
             results[k] = (scores[b, :m], parents[b, :m], peaks[b, :m])

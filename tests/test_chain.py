@@ -77,3 +77,18 @@ def test_chain_empty_and_single(chain_ref, tmp_path):
     ref_out = run_ref(chain_ref, text, tmp_path)
     our_out = run_ours(text, tmp_path)
     assert our_out == ref_out
+
+
+def test_chain_blob_single_device_path(chain_ref, tmp_path):
+    """mesh=None takes the single-transfer blob wrapper (the TPU bench
+    path); must stay bit-exact vs the reference binary."""
+    import io as io_mod
+    from genarchbench_tpu.io import chain_io
+    rng = np.random.default_rng(4)
+    text = gen_chain_input(rng, n_records=50, max_anchors=300)
+    ref_out = run_ref(chain_ref, text, tmp_path)
+    records = list(chain_io.read_records(io_mod.StringIO(text)))
+    results = chain_mod.chain_batch(records, mesh=None)
+    out = io_mod.StringIO()
+    chain_io.write_returns(out, [(s, p) for s, p, _ in results])
+    assert out.getvalue() == ref_out
