@@ -51,14 +51,15 @@ def clin_table(avg_qspan: float, size: int) -> np.ndarray:
 def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
     """Per-record sparse corrections making the device's f32 gap cost
     bit-equal to the C f64 one: (corr_dd, corr_delta) (B, CORR_K) and
-    the count of rows needing more than CORR_K slots (0 in practice —
-    measured <= 1 correction per row across the avg_qspan range)."""
+    the list of LOCAL row indices needing more than CORR_K slots
+    (rare — those records are deferred to a small exact-table batch
+    instead of dragging the whole plan onto the gather path)."""
     nb = len(avg32)
     corr_dd = np.full((B, CORR_K), -1, np.int32)
     corr_delta = np.zeros((B, CORR_K), np.int32)
     t1 = np.arange(t_size, dtype=np.float64) * 0.01
     ddf = np.arange(t_size, dtype=np.float32) * np.float32(0.01)
-    n_over = 0
+    over_rows = []
     for lo in range(0, nb, 2048):
         hi = min(lo + 2048, nb)
         a32 = avg32[lo:hi]
@@ -80,11 +81,11 @@ def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
             m_ = rows == r_
             sel = cols[m_]
             if len(sel) > CORR_K:
-                n_over += 1
+                over_rows.append(lo + int(r_))
                 continue
             corr_dd[lo + r_, :len(sel)] = sel
             corr_delta[lo + r_, :len(sel)] = delta[m_]
-    return corr_dd, corr_delta, n_over
+    return corr_dd, corr_delta, over_rows
 
 
 CORR_K = 16
@@ -296,7 +297,8 @@ def _chain_dp_blob(blob, B, N, CK, T, with_heuristics, use_table):
 
 def chain_batch(records: Sequence[chain_io.ChainRecord],
                 with_heuristics: bool = True,
-                cell_budget: int = 1 << 23, mesh=None) -> List[tuple]:
+                cell_budget: int = 1 << 23, mesh=None,
+                _force_table: bool = False) -> List[tuple]:
     """Run chain_dp over records; returns [(scores, parents, peaks)] in
     order.  With a mesh, records shard data-parallel along the batch axis
     (the OMP-dynamic-for equivalent, chain/src/host_kernel.cpp:98-107)."""
@@ -305,9 +307,30 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
     results: List[tuple] = [None] * len(records)
     plans = plan_batches([r.n for r in records], cell_budget=cell_budget,
                          max_batch=4096)
+    deferred: List[int] = []
     for plan in plans:
-        recs = [records[k] for k in plan.indices]
+        plan_idxs = list(plan.indices)
+        recs = [records[k] for k in plan_idxs]
         B, N = pad_batch(plan.batch, mesh), plan.length
+        t_size0 = int(max(r.max_dist_x for r in recs)) + 1
+        if not _force_table:
+            avg_r = np.array([np.float32(r.avg_qspan) for r in recs],
+                             np.float32)
+            cdd_r, cdel_r, over = gap_corrections(avg_r, t_size0, B)
+            if over:
+                oset = set(over)
+                deferred += [plan_idxs[i] for i in over]
+                keep = [i for i in range(len(recs)) if i not in oset]
+                plan_idxs = [plan_idxs[i] for i in keep]
+                recs = [recs[i] for i in keep]
+                if not recs:
+                    continue
+                cdd_r = np.concatenate(
+                    [cdd_r[keep],
+                     np.full((B - len(keep), CORR_K), -1, np.int32)])
+                cdel_r = np.concatenate(
+                    [cdel_r[keep],
+                     np.zeros((B - len(keep), CORR_K), np.int32)])
         x_lo = pad_stack([r.x_lo for r in recs], B, N, dtype=np.uint32)
         qi = pad_stack([r.qi for r in recs], B, N, dtype=np.int32)
         span = pad_stack([r.q_span for r in recs], B, N, dtype=np.int32)
@@ -327,14 +350,15 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
         t_size = int(max(r.max_dist_x for r in recs)) + 1
         avg32 = np.zeros(B, np.float32)
         avg32[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
-        corr_dd, corr_delta, n_over = gap_corrections(
-            avg32[:len(recs)], t_size, B)
-        use_table = n_over > 0
-        if use_table:     # >CORR_K corrections in some row: exact table
+        use_table = _force_table
+        if use_table:     # deferred >CORR_K rows: exact f64 table
+            corr_dd = np.full((B, CORR_K), -1, np.int32)
+            corr_delta = np.zeros((B, CORR_K), np.int32)
             clin = np.zeros((B, t_size), np.int32)
             for b, r in enumerate(recs):
                 clin[b] = clin_table(r.avg_qspan, t_size)
         else:
+            corr_dd, corr_delta = cdd_r, cdel_r
             clin = np.zeros((B, 1), np.int32)
 
         single = mesh is None or getattr(mesh, "size", 1) == 1
@@ -361,9 +385,16 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
             scores = np.asarray(scores)
             parents = np.asarray(parents)
             peaks = np.asarray(peaks)
-        for b, k in enumerate(plan.indices):
+        for b, k in enumerate(plan_idxs):
             m = records[k].n
             results[k] = (scores[b, :m], parents[b, :m], peaks[b, :m])
+    if deferred:
+        sub = chain_batch([records[k] for k in deferred],
+                          with_heuristics=with_heuristics,
+                          cell_budget=cell_budget, mesh=mesh,
+                          _force_table=True)
+        for k, res in zip(deferred, sub):
+            results[k] = res
     return results
 
 

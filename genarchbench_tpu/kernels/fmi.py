@@ -49,6 +49,9 @@ from genarchbench_tpu.core.roi import ROITimer
 CP_SHIFT = 6
 CP_MASK = 63
 SPLIT_WIDTH = 10
+FMI_UNROLL = 4       # extension steps per while-loop iteration (the
+                     # lockstep loops are fixed-cost-per-iteration
+                     # bound on this backend; masked lanes no-op)
 MAX_MEM_INTV = 20
 SPLIT_FACTOR = 1.5
 
@@ -392,12 +395,17 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
     def fwd_cond(carry):
         return jnp.any(carry[12])
 
+    def fwd_block(carry):
+        for _ in range(FMI_UNROLL):
+            carry = fwd_body(carry)
+        return carry
+
     m = x0
     n = x0
     carry = (m, n, k0, l0, s0, pm, pn, pk, pl, ps, npv,
              x0 + 1, lane_on, jnp.asarray(1, i32))
     (m, n, k, l, s, pm, pn, pk, pl, ps, npv, next_x, _, _) = \
-        lax.while_loop(fwd_cond, fwd_body, carry)
+        lax.while_loop(fwd_cond, fwd_block, carry)
 
     # final forward push: if smem.s >= min_intv
     fin = lane_on & (s >= min_intv)
@@ -449,17 +457,23 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
         prev_s = _last_eligible_scan(elig, ns)
         push_p = elig & (ns != prev_s)
         # compact pushed entries (stable) to the front; pushed entry is
-        # newSmem = (m=jj, n=prev n, k/l/s = extended)
-        tgt = jnp.cumsum(push_p.astype(i32), axis=1) - 1
-        ncur = jnp.sum(push_p.astype(i32), axis=1)
-        t = jnp.where(push_p, tgt, Pmax)
-        rows = jnp.arange(B)[:, None]
+        # newSmem = (m=jj, n=prev n, k/l/s = extended).  GATHER-based:
+        # perm[t] = source slot of the t-th pushed entry via a one-hot
+        # cumsum match — the previous 5 scatter-writes per step were
+        # the pass-1 wall (scatter is the slowest op class on TPU)
+        csum = jnp.cumsum(push_p.astype(i32), axis=1)
+        ncur = csum[:, -1]
+        t_iota = lax.broadcasted_iota(i32, (B, Pmax, Pmax), 1)
+        j_iota = lax.broadcasted_iota(i32, (B, Pmax, Pmax), 2)
+        E = push_p[:, None, :] & (csum[:, None, :] == t_iota + 1)
+        perm = jnp.where(E, j_iota, 0).sum(axis=2)
+        hasrow = jnp.any(E, axis=2)
 
         def compact(vals):
-            buf = jnp.zeros((B, Pmax + 1), i32)
-            return buf.at[rows, t].set(vals)[:, :Pmax]
+            g = jnp.take_along_axis(vals, perm, axis=1)
+            return jnp.where(hasrow, g, 0)
 
-        npm = compact(jnp.broadcast_to(jj[:, None], (B, Pmax)))
+        npm = jnp.where(hasrow, jj[:, None], 0)
         npn = compact(pn)
         npk = compact(nk)
         npl = compact(nl)
@@ -479,11 +493,16 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
     def bwd_cond(carry):
         return jnp.any(carry[6])
 
+    def bwd_block(carry):
+        for _ in range(FMI_UNROLL):
+            carry = bwd_body(carry)
+        return carry
+
     bwd_on = lane_on
     carry = (pm, pn, pk, pl, ps, npv, bwd_on, jnp.asarray(1, i32),
              em, en, es, ec)
     (pm, pn, pk, pl, ps, npv, _, _, em, en, es, ec) = \
-        lax.while_loop(bwd_cond, bwd_body, carry)
+        lax.while_loop(bwd_cond, bwd_block, carry)
 
     # final: emit prev[0] if it meets min_seed (numPrev != 0 lanes)
     fmask = lane_on & (npv > 0) & ((pn[:, 0] - pm[:, 0] + 1) >= min_seed)
@@ -604,8 +623,13 @@ def _bwt_seed_device(count5, occtab, sentinel,
             on = on & good & ~hit
             return (k2, l2, s2, nx, j + 1, on, em, en, es, ec)
 
+        def inner_block(c):
+            for _ in range(FMI_UNROLL):
+                c = inner_body(c)
+            return c
+
         (k, l, s, nx, _, _, em, en, es, ec) = lax.while_loop(
-            inner_cond, inner_body,
+            inner_cond, inner_block,
             (k, l, s, nx, jnp.asarray(1, i32), on, em, en, es, ec))
         return (nx, em, en, es, ec)
 
@@ -682,7 +706,7 @@ class FMISearch:
         # narrow first tier: the emit buffers are rebuilt by a full
         # `where` write on every loop step, so their WIDTH is a per-step
         # bandwidth cost, not just a d2h cost
-        for Pmax, out_w in ((min(Lmax, 32), min(Lmax + 2, 32)),
+        for Pmax, out_w in ((min(Lmax, 16), min(Lmax + 2, 32)),
                             (Lmax, 2 * Lmax + 2)):
             emit_cap = out_w
             if all_pos:
@@ -752,8 +776,10 @@ def search_reads(fmi: FMISearch, reads: List[np.ndarray],
     Lmax = 1 << max(max(len(r) for r in reads) - 1, 1).bit_length()
     split_len = int(min_seed * SPLIT_FACTOR + .499)
     # cap the device batch by padded BASES, not read count, so
-    # long-read inputs don't blow up the (batch * Lmax) buffers
-    dev_batch = max(batch_size, min(32768, (64 << 20) // Lmax))
+    # long-read inputs don't blow up the (batch * Lmax) buffers;
+    # bigger batches amortize the lockstep loop's worst-lane step
+    # count across more reads (the loop runs max-over-batch steps)
+    dev_batch = max(batch_size, min(65536, (128 << 20) // Lmax))
     results = []
     for i in range(0, n, dev_batch):
         batch = reads[i:i + dev_batch]
