@@ -335,8 +335,8 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
         qi = pad_stack([r.qi for r in recs], B, N, dtype=np.int32)
         span = pad_stack([r.q_span for r in recs], B, N, dtype=np.int32)
         sid = pad_stack([r.sid for r in recs], B, N, dtype=np.int32)
-        st = pad_stack([r.window_starts(MAX_ITER) for r in recs], B, N,
-                       dtype=np.int32)
+        st = pad_stack(chain_io.window_starts_all(recs, MAX_ITER),
+                       B, N, dtype=np.int32)
         n = np.zeros(B, np.int32)
         n[:len(recs)] = [r.n for r in recs]
         mdx = np.zeros(B, np.int32)

@@ -312,8 +312,9 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
             st_pad = np.asarray(st_d)
         else:
             st_pad = np.tile(np.arange(N, dtype=np.int32), (B, 1))
-            for b, r in enumerate(recs):
-                st_pad[b, :r.n] = r.window_starts()
+            for b, ws in enumerate(
+                    chain_io.window_starts_all(recs)):
+                st_pad[b, :len(ws)] = ws
         dargs = shard_args(mesh, x_lo, x_hi, qi, span, st_pad, n, mdx,
                            mdxy, bw, avg)
         parents_d, scores_d = _fast_chain_device(*dargs)

@@ -142,6 +142,8 @@ def readers_lib() -> Optional[ctypes.CDLL]:
     lib.peak_detect.argtypes = [pf, pf, i64, ctypes.c_float,
                                 ctypes.c_float, i64, i64,
                                 ctypes.c_float, p64]
+    lib.chain_window_starts.restype = None
+    lib.chain_window_starts.argtypes = [i64, p64, pu64, p64, i64, p32]
     vp = ctypes.c_void_p
     p16 = ctypes.POINTER(ctypes.c_int16)
     lib.poa_new.restype = vp
@@ -324,6 +326,26 @@ def pileup_events_native(flat, chrom_id, start, end, filter_flags,
     if m2 != m:
         return None
     return cov, present.astype(bool), ev_p[:m], ev_j[:m], ev_f[:m]
+
+
+def chain_window_starts_native(xs, mdxs, max_iter):
+    """Window starts for a list of sorted uint64 anchor arrays; None
+    when the native library is unavailable."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    offs = np.zeros(len(xs) + 1, np.int64)
+    np.cumsum([len(x) for x in xs], out=offs[1:])
+    flat = (np.concatenate(xs).astype(np.uint64) if len(xs)
+            else np.zeros(0, np.uint64))
+    mdx = np.asarray(mdxs, np.int64)
+    out = np.empty(max(len(flat), 1), np.int32)
+    lib.chain_window_starts(
+        len(xs), _as_ptr(offs, ctypes.c_int64),
+        _as_ptr(flat, ctypes.c_uint64), _as_ptr(mdx, ctypes.c_int64),
+        max_iter, _as_ptr(out, ctypes.c_int32))
+    return [out[offs[i]:offs[i + 1]].copy() for i in range(len(xs))]
 
 
 def pileup_cov_native(flat, chrom_id, start, end, filter_flags,

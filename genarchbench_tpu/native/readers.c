@@ -595,6 +595,26 @@ int64_t pileup_counts(
         colof, mat, width);
 }
 
+/* chain window starts (host_kernel.cpp:56-57): persistent two-pointer
+   st advanced while x[i] > x[st] + max_dist_x, clamped at i - max_iter.
+   O(total anchors) across all records. */
+void chain_window_starts(int64_t n_rec, const int64_t *offs,
+                         const uint64_t *x, const int64_t *mdx,
+                         int64_t max_iter, int32_t *out) {
+    for (int64_t r = 0; r < n_rec; r++) {
+        int64_t lo = offs[r], hi = offs[r + 1];
+        int64_t st = lo;
+        uint64_t m = (uint64_t)mdx[r];
+        for (int64_t i = lo; i < hi; i++) {
+            while (x[i] > x[st] + m) st++;
+            int64_t v = st - lo;
+            int64_t lim = (i - lo) - max_iter;
+            if (v < lim) v = lim;
+            out[i] = (int32_t)v;
+        }
+    }
+}
+
 /* short_long_peak_detector (abea events.c:370-470): two-detector
    state machine over the short/long-window t-stats.  Float arithmetic
    is plain C float, matching the reference exactly.  Returns the
