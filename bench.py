@@ -575,6 +575,23 @@ def main() -> None:
     ours_cache = _load_ours()
     detail = _emit_state["detail"]
 
+    # pre-fill from the on-disk caches so even a hard kill mid-measure
+    # emits FULL kernel coverage (fresh measurements overwrite below)
+    try:
+        ref_cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
+    except Exception:
+        ref_cache = {}
+    for k in kernels:
+        oc = ours_cache.get(f"{k}_{size_tag}")
+        rs = ref_cache.get(f"{k}_t{nthreads}_{size_tag}")
+        if oc and rs and oc["secs"] > 0:
+            d = {"ours_s": oc["secs"], "ref_s": rs,
+                 "speedup": rs / oc["secs"],
+                 "platform": oc["platform"], "cached": True}
+            if k in _CELLS:
+                d["gcells_per_s"] = _CELLS[k] / oc["secs"] / 1e9
+            detail[k] = d
+
     try:
         for k in kernels:
             try:
