@@ -48,18 +48,47 @@ def clin_table(avg_qspan: float, size: int) -> np.ndarray:
     return (dd * 0.01 * np.float64(np.float32(avg_qspan))).astype(np.int32)
 
 
+# largest product magnitude for which the near-integer window below
+# (4e-3) provably covers every f32-vs-f64 truncation mismatch: the
+# two-op f32 product error is ~V*1.2e-7, so V <= 2^14 keeps it under
+# ~2e-3 < 4e-3.  Records whose max product exceeds this are deferred
+# to the exact-table path instead of risking silent divergence.
+SAFE_PROD = 16384.0
+
+
 def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
     """Per-record sparse corrections making the device's f32 gap cost
     bit-equal to the C f64 one: (corr_dd, corr_delta) (B, CORR_K) and
     the list of LOCAL row indices needing more than CORR_K slots
     (rare — those records are deferred to a small exact-table batch
-    instead of dragging the whole plan onto the gather path)."""
+    instead of dragging the whole plan onto the gather path).  Rows
+    whose max product avg*dd*0.01 exceeds SAFE_PROD (where the 4e-3
+    near-integer window no longer bounds the f32 product error) are
+    deferred wholesale.
+
+    Fast path: native/readers.c::chain_gap_corr enumerates only the
+    near-integer candidate dd values (the dense (nb, t_size) numpy
+    scan below costs ~8 s for a 16k-record batch and was the single
+    largest item in the chain ROI)."""
+    from genarchbench_tpu import native
     nb = len(avg32)
+    res = native.chain_gap_corr_native(avg32, t_size, CORR_K, SAFE_PROD)
+    if res is not None:
+        cdd, cdel, over8 = res
+        corr_dd = np.full((B, CORR_K), -1, np.int32)
+        corr_delta = np.zeros((B, CORR_K), np.int32)
+        corr_dd[:nb] = cdd
+        corr_delta[:nb] = cdel
+        return corr_dd, corr_delta, list(np.nonzero(over8)[0].astype(int))
     corr_dd = np.full((B, CORR_K), -1, np.int32)
     corr_delta = np.zeros((B, CORR_K), np.int32)
     t1 = np.arange(t_size, dtype=np.float64) * 0.01
     ddf = np.arange(t_size, dtype=np.float32) * np.float32(0.01)
-    over_rows = []
+    over_rows = list(np.nonzero(
+        avg32.astype(np.float64) * ((t_size - 1) * 0.01)
+        > SAFE_PROD)[0].astype(int))
+    unsafe = set(over_rows)
+    over_rows = list(over_rows)
     for lo in range(0, nb, 2048):
         hi = min(lo + 2048, nb)
         a32 = avg32[lo:hi]
@@ -78,6 +107,8 @@ def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
         rows, cols = rows[bad], cols[bad]
         delta = exact_i[bad] - appr_i[bad]
         for r_ in np.unique(rows):
+            if lo + int(r_) in unsafe:
+                continue
             m_ = rows == r_
             sel = cols[m_]
             if len(sel) > CORR_K:
@@ -164,9 +195,13 @@ def _chain_dp_device(x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
             # by the sparse per-record correction slots the host
             # computed (f32 trunc differs from f64 trunc for <1e-4 of
             # dd values); a 2M-element random gather per anchor into
-            # the (B, T) table measured ~10x the cost of these flops
-            appr = (ddc.astype(jnp.float32) * jnp.float32(0.01)
-                    ) * avg32[:, None]
+            # the (B, T) table measured ~10x the cost of these flops.
+            # barriers: pin the two-op product order (see the windowed
+            # kernel's note on XLA reassociating duplicated fusions)
+            appr = lax.optimization_barrier(
+                lax.optimization_barrier(
+                    ddc.astype(jnp.float32) * jnp.float32(0.01))
+                * avg32[:, None])
             c_lin = appr.astype(i32)
             for k in range(CORR_K):
                 c_lin = c_lin + jnp.where(
@@ -253,17 +288,191 @@ def _chain_dp_device(x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
         return (scores, parents, peaks, childbit)
 
     scores, parents, peaks, _ = lax.fori_loop(
-        0, N, outer, (scores0, parents0, peaks0, childbit0))
+        0, jnp.max(n), outer, (scores0, parents0, peaks0, childbit0))
     return scores, parents, peaks
 
 
-@partial(jax.jit, static_argnames=("B", "N", "CK", "T",
-                                   "with_heuristics", "use_table"))
-def _chain_dp_blob(blob, B, N, CK, T, with_heuristics, use_table):
-    """Single-transfer wrapper: all per-plan inputs arrive as ONE
-    uint32 blob (the tunnel charges ~50-100 ms latency per transfer —
-    11 h2d + 3 d2h per plan dominated warm runs), outputs leave as ONE
-    stacked (3, B, N) int32 array."""
+@partial(jax.jit, static_argnames=("W", "with_heuristics", "use_table"))
+def _chain_dp_win_device(x_lo, qi, span, sid, width, n, mdx, mdy, bw,
+                         nsegs, clin, avg32, corr_dd, corr_delta, W,
+                         with_heuristics=True, use_table=False):
+    """Sliding-WINDOW chain DP: anchor i only ever scans j in
+    [i-W, i) (W = the batch's max two-pointer window width,
+    host_kernel.cpp:56-57 — typically ~50-100 anchors at minimap2's
+    max_dist_x, far below the record length), so the per-anchor work
+    drops from (B, N) to (B, W) and the whole heuristic machinery of
+    `_chain_dp_device` runs on W-wide slices:
+
+      * all anchor arrays get W leading zero columns so anchor i's
+        window is ALWAYS the static-size slice [i, i+W) — no clamps;
+      * the skip-marker inverse map `childbit` lives in anchor-RELATIVE
+        coordinates (rows = targets j-(i-W), bit p = writer j'-(i-W))
+        and is advanced by one row / one bit per anchor with pure
+        elementwise shifts — no scatters;
+      * `peaks[maxj]` is read back with a masked max over the W slice
+        instead of a per-anchor gather (B-element gathers serialize).
+
+    Requires W % 32 == 0 (childbit word packing) and W >= the true max
+    window width of every record in the batch (chain_batch buckets by
+    width and falls back to the dense kernel otherwise).
+
+    Perf shape (measured): the per-iteration cost of a TPU while loop
+    is dominated by the COUNT of materialized HLO ops in the body
+    (~7-20 us each — dynamic slices, concats, reductions; elementwise
+    work is nearly free at these sizes).  Hence the packing games
+    below: the four anchor arrays ride in ONE (B, 4, N+W) array (one
+    slice + one column read per anchor instead of eight), scores+peaks
+    in one (B, 2, N+W) carry (one slice + one update), and the skip
+    counter's (C, M) scan state in one (B, 2, W) array (one shift
+    concat per scan step instead of two)."""
+    B, N = x_lo.shape
+    T = clin.shape[1] if use_table else int(jnp.iinfo(jnp.int32).max)
+    i32 = jnp.int32
+    NEGI = jnp.asarray(-(1 << 30), i32)
+    jidx = jnp.arange(W, dtype=i32)
+    NWRD = W // 32
+
+    IN = jnp.concatenate([
+        jnp.zeros((B, 5, W), i32),
+        jnp.stack([lax.bitcast_convert_type(x_lo, i32), qi, span, sid,
+                   width], axis=1)], axis=2)            # (B, 5, N+W)
+    sp0 = jnp.zeros((B, 2, N + W), i32)                 # scores, peaks
+    parents0 = jnp.full((B, N), -1, i32)
+    childbit0 = jnp.zeros((B, W, NWRD), jnp.uint32)
+
+    def outer(i, state):
+        sp, parents, childbit = state
+        act_i = i < n                                   # (B,)
+        cols = lax.dynamic_slice(IN, (0, 0, W + i), (B, 5, 1))[:, :, 0]
+        ri, qi_i, span_i, sid_i, width_i = (
+            cols[:, 0], cols[:, 1], cols[:, 2], cols[:, 3], cols[:, 4])
+        thr = W - width_i                               # first in-window jj
+        win = jidx[None, :] >= thr[:, None]
+        rows = lax.dynamic_slice(IN, (0, 0, i), (B, 5, W))
+        xs, qs, sids = rows[:, 0], rows[:, 1], rows[:, 3]
+        sprow = lax.dynamic_slice(sp, (0, 0, i), (B, 2, W))
+        scs, pks = sprow[:, 0], sprow[:, 1]
+        dr = ri[:, None] - xs                           # (B, W) wraps = u32
+        dq = qi_i[:, None] - qs
+        sid_eq = sid_i[:, None] == sids
+        dd = jnp.abs(dr - dq)
+        cont = ((sid_eq & (dr == 0)) | (dq <= 0)) \
+             | ((sid_eq & (dq > mdy[:, None])) | (dq > mdx[:, None])) \
+             | (sid_eq & (dd > bw[:, None])) \
+             | ((nsegs[:, None] > 1) & sid_eq & (dr > mdy[:, None]))
+        sc0 = jnp.minimum(jnp.minimum(dq, dr), span_i[:, None])
+        ddc = jnp.clip(dd, 0, T - 1)
+        if use_table:
+            c_lin = jnp.take_along_axis(clin, ddc, axis=1)
+        else:
+            # optimization_barrier pins the two-op f32 product order —
+            # the host-computed corrections assume EXACTLY
+            # (f32)(ddc*0.01f)*avg32; XLA was observed reassociating a
+            # duplicated copy of this fusion (see fast_chain.py
+            # pair_scores), which flips the truncation at boundary
+            # products and silently diverges from the f64 reference
+            appr = lax.optimization_barrier(
+                lax.optimization_barrier(
+                    ddc.astype(jnp.float32) * jnp.float32(0.01))
+                * avg32[:, None])
+            c_lin = appr.astype(i32)
+            for k in range(CORR_K):
+                c_lin = c_lin + jnp.where(
+                    ddc == corr_dd[:, k][:, None],
+                    corr_delta[:, k][:, None], 0)
+        log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
+        gap = jnp.where(sid_eq, c_lin + (log_dd >> 1),
+                        jnp.where(dr == 0, 0,
+                                  jnp.minimum(c_lin, log_dd)))
+        bonus = ((~sid_eq) & (dr == 0)).astype(i32)
+        sc = sc0 + bonus - gap + scs
+
+        eff = act_i[:, None] & win & (~cont)
+        scv = jnp.where(eff, sc, NEGI)
+        suff_excl = jnp.concatenate(
+            [scv[:, 1:], jnp.full((B, 1), NEGI)], axis=1)
+        d = 1
+        while d < W:
+            shifted = jnp.concatenate(
+                [suff_excl[:, d:], jnp.full((B, d), NEGI)], axis=1)
+            suff_excl = jnp.maximum(suff_excl, shifted)
+            d *= 2
+        runmax = jnp.maximum(span_i[:, None], suff_excl)
+        better = eff & (sc > runmax)
+
+        if with_heuristics:
+            effw = (eff.astype(jnp.uint32).reshape(B, NWRD, 32)
+                    * (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+                    ).sum(axis=2, dtype=jnp.uint32)      # (B, NWRD)
+            t_hit = jnp.any(
+                childbit & effw[:, None, :] != 0, axis=2)  # (B, W)
+            skip_hit = eff & (~better) & t_hit
+            c = jnp.where(skip_hit, 1, jnp.where(better, -1, 0))
+            # (C, M) composition scan packed into one (B, 2, W) array:
+            # one shift-concat per step instead of two
+            cm = jnp.stack(
+                [jnp.concatenate([c[:, 1:], jnp.zeros((B, 1), i32)],
+                                 axis=1),
+                 jnp.zeros((B, W), i32)], axis=1)        # (B, 2, W)
+            d = 1
+            while d < W:
+                sh = jnp.concatenate(
+                    [cm[:, :, d:], jnp.zeros((B, 2, d), i32)], axis=2)
+                Cs, Ms = cm[:, 0], cm[:, 1]
+                C2, M2 = sh[:, 0], sh[:, 1]
+                cm = jnp.stack(
+                    [Cs + C2, jnp.maximum(M2 + Cs, Ms)], axis=1)
+                d *= 2
+            nsk_before = jnp.maximum(cm[:, 0], cm[:, 1])
+            newbrk = skip_hit & (nsk_before + 1 > MAX_SKIP)
+            jstar = jnp.max(jnp.where(newbrk, jidx[None, :], -1), axis=1)
+            valid = eff & (jidx[None, :] > jstar[:, None])
+        else:
+            valid = eff
+
+        scv2 = jnp.where(valid, sc, NEGI)
+        best = jnp.max(scv2, axis=1)                    # (B,)
+        maxf = jnp.maximum(span_i, best)
+        is_best = valid & (sc == best[:, None]) & (best > span_i)[:, None]
+        jj = jnp.max(jnp.where(is_best, jidx[None, :], -1), axis=1)
+        maxj = jnp.where(jj >= 0, i - W + jj, -1)       # real index
+
+        pk_j = jnp.max(jnp.where(jidx[None, :] == jj[:, None], pks, NEGI),
+                       axis=1)
+        pk = jnp.where((jj >= 0) & (pk_j > maxf), pk_j, maxf)
+        upd = jnp.stack([jnp.where(act_i, maxf, 0),
+                         jnp.where(act_i, pk, 0)], axis=1)[:, :, None]
+        sp = lax.dynamic_update_slice(sp, upd, (0, 0, W + i))
+        parents = lax.dynamic_update_slice(
+            parents, jnp.where(act_i, maxj, -1)[:, None], (0, i))
+
+        if with_heuristics:
+            # advance the rolling window: targets up one row, writers
+            # down one bit (value at position p moves to p-1), then
+            # record writer i at the NEW last position (W-1 = word
+            # NWRD-1 bit 31) against target row jj-1
+            rowsh = jnp.concatenate(
+                [childbit[:, 1:, :],
+                 jnp.zeros((B, 1, NWRD), jnp.uint32)], axis=1)
+            nxt = jnp.concatenate(
+                [rowsh[:, :, 1:], jnp.zeros((B, W, 1), jnp.uint32)],
+                axis=2)
+            cb = (rowsh >> 1) | (nxt << 31)
+            setrow = ((jidx[None, :] == (jj - 1)[:, None])
+                      & (jj >= 1)[:, None] & act_i[:, None])
+            plane = cb[:, :, NWRD - 1] | jnp.where(
+                setrow, jnp.uint32(1) << 31, jnp.uint32(0))
+            childbit = cb.at[:, :, NWRD - 1].set(plane)
+        return (sp, parents, childbit)
+
+    # dynamic trip count: padded anchors past the batch's true max n
+    # would be pure no-ops (act_i false), so don't run them at all
+    sp, parents, _ = lax.fori_loop(
+        0, jnp.max(n), outer, (sp0, parents0, childbit0))
+    return sp[:, 0, W:], parents, sp[:, 1, W:]
+
+
+def _blob_reader(blob):
     off = [0]
 
     def take(sz, shape, dt):
@@ -274,6 +483,17 @@ def _chain_dp_blob(blob, B, N, CK, T, with_heuristics, use_table):
             return arr
         return lax.bitcast_convert_type(arr, dt)
 
+    return take
+
+
+@partial(jax.jit, static_argnames=("B", "N", "CK", "T",
+                                   "with_heuristics", "use_table"))
+def _chain_dp_blob(blob, B, N, CK, T, with_heuristics, use_table):
+    """Single-transfer wrapper for the DENSE kernel: all per-plan
+    inputs arrive as ONE uint32 blob (the tunnel charges ~50-100 ms
+    latency per transfer — 11 h2d + 3 d2h per plan dominated warm
+    runs), outputs leave as ONE stacked (3, B, N) int32 array."""
+    take = _blob_reader(blob)
     x_lo = take(B * N, (B, N), jnp.uint32)
     qi = take(B * N, (B, N), jnp.int32)
     span = take(B * N, (B, N), jnp.int32)
@@ -295,6 +515,192 @@ def _chain_dp_blob(blob, B, N, CK, T, with_heuristics, use_table):
     return jnp.stack([scores, parents, peaks])
 
 
+@partial(jax.jit, static_argnames=("B", "N", "MP", "CK", "W",
+                                   "with_heuristics"))
+def _chain_win_ragged_blob(blob, B, N, MP, CK, W, with_heuristics):
+    """Single-transfer wrapper for the WINDOWED kernel, built for the
+    tunnel's transfer profile (h2d/d2h both ~50-100 MB/s and NOISY):
+    anchors ship RAGGED (no padding) at 7 B each — u16 x-deltas,
+    i16 qi-deltas, u8 width/span/sid — and the padded (B, N) arrays
+    are rebuilt on device with one gather + cumsum per plane.  Only
+    the DELTA-packed parents (u8, delta = i - parent in [1, W], 0 =
+    no parent) come back; scores and peaks stay on device unless the
+    native C reconstruction (readers.c::chain_scores_peaks) is
+    unavailable.  MP = padded flat anchor count (pow2 bucket)."""
+    take = _blob_reader(blob)
+    i32 = jnp.int32
+    n = take(B, (B,), jnp.int32)
+    base_x = take(B, (B,), jnp.int32)
+    base_q = take(B, (B,), jnp.int32)
+    mdx = take(B, (B,), jnp.int32)
+    mdy = take(B, (B,), jnp.int32)
+    bw = take(B, (B,), jnp.int32)
+    nsegs = take(B, (B,), jnp.int32)
+    avg32 = take(B, (B,), jnp.float32)
+    corr_dd = take(B * CK, (B, CK), jnp.int32)
+    corr_delta = take(B * CK, (B, CK), jnp.int32)
+    dx = lax.bitcast_convert_type(
+        take(MP // 2, (MP // 2,), jnp.uint32), jnp.uint16
+    ).reshape(MP).astype(i32)
+    dq = lax.bitcast_convert_type(
+        take(MP // 2, (MP // 2,), jnp.uint32), jnp.int16
+    ).reshape(MP).astype(i32)
+    wss = lax.bitcast_convert_type(
+        take(3 * MP // 4, (3 * MP // 4,), jnp.uint32), jnp.uint8
+    ).reshape(3, MP).astype(i32)
+
+    iota = jnp.arange(N, dtype=i32)[None, :]
+    valid = iota < n[:, None]
+    offs = jnp.cumsum(n) - n                             # exclusive
+    fidx = offs[:, None] + jnp.where(valid, iota, 0)     # (B, N)
+    x_lo = lax.bitcast_convert_type(
+        base_x[:, None] + jnp.cumsum(
+            jnp.where(valid, jnp.take(dx, fidx), 0), axis=1,
+            dtype=i32), jnp.uint32)
+    qi = base_q[:, None] + jnp.cumsum(
+        jnp.where(valid, jnp.take(dq, fidx), 0), axis=1, dtype=i32)
+    width = jnp.take(wss[0], fidx)
+    span = jnp.take(wss[1], fidx)
+    sid = jnp.take(wss[2], fidx)
+    clin = jnp.zeros((B, 1), i32)
+    scores, parents, peaks = _chain_dp_win_device(
+        x_lo, qi, span, sid, width, n, mdx, mdy, bw, nsegs, clin,
+        avg32, corr_dd, corr_delta, W,
+        with_heuristics=with_heuristics, use_table=False)
+    delta = jnp.where(parents >= 0, iota - parents, 0).astype(jnp.uint8)
+    return delta, scores, peaks
+
+
+NARROW_WCAP = 224      # widest u8-encodable window bucket (multiples of 32)
+
+
+def _chain_narrow_batch(records, idxs, widths, results,
+                        with_heuristics) -> List[int]:
+    """Single-device path for narrow-window records: ONE giant batch
+    per padded length (per-while-iteration cost on this TPU is FLAT in
+    batch size — ~60 fused kernels x ~20 us each — so 16k lanes in one
+    plan beat 4 plans of 4k lanes 4x), u8 meta packing h2d, delta-u8
+    parents d2h, scores/peaks rebuilt exactly in native C.  Returns
+    the record indices deferred to the exact-table path."""
+    from genarchbench_tpu import native
+
+    deferred: List[int] = []
+    plans = plan_batches([records[k].n for k in idxs],
+                         cell_budget=1 << 24, max_batch=16384)
+    pending = []
+    for plan in plans:
+        plan_idxs = [idxs[j] for j in plan.indices]
+        recs = [records[k] for k in plan_idxs]
+        B, N = plan.batch, plan.length
+        t_size0 = int(max(max(r.max_dist_x, r.bw) for r in recs)) + 1
+        avg32 = np.zeros(B, np.float32)
+        avg32[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
+        cdd, cdel, over = gap_corrections(avg32[:len(recs)], t_size0, B)
+        if over:
+            oset = set(over)
+            deferred += [plan_idxs[i] for i in over]
+            keep = [i for i in range(len(recs)) if i not in oset]
+            plan_idxs = [plan_idxs[i] for i in keep]
+            recs = [recs[i] for i in keep]
+            if not recs:
+                continue
+            cdd = np.concatenate(
+                [cdd[keep], np.full((B - len(keep), CORR_K), -1,
+                                    np.int32)])
+            cdel = np.concatenate(
+                [cdel[keep], np.zeros((B - len(keep), CORR_K),
+                                      np.int32)])
+            avg32 = np.zeros(B, np.float32)
+            avg32[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
+        W = -(-max(1, max(widths[k] for k in plan_idxs)) // 32) * 32
+        lens_p = np.array([r.n for r in recs], np.int64)
+        M = int(lens_p.sum())
+        offs = np.zeros(B, np.int64)
+        offs[:len(recs)] = np.cumsum(lens_p) - lens_p
+        offs[len(recs):] = M
+        ws_list = chain_io.window_starts_all(recs, MAX_ITER)
+        if M:
+            starts = offs[:len(recs)][lens_p > 0]
+            all_x = np.concatenate([r.x_lo for r in recs if r.n])
+            all_q = np.concatenate(
+                [r.qi for r in recs if r.n]).astype(np.int32)
+            all_span = np.concatenate(
+                [r.q_span for r in recs if r.n]).astype(np.uint8)
+            all_sid = np.concatenate(
+                [r.sid for r in recs if r.n]).astype(np.uint8)
+            flat_ws = np.concatenate(
+                [ws for ws in ws_list if len(ws)]).astype(np.int64)
+            pos = np.arange(M, dtype=np.int64) \
+                - np.repeat(offs[:len(recs)], lens_p)
+            flat_w = (pos - flat_ws).astype(np.uint8)
+            dx16 = np.zeros(M, np.uint16)
+            dx16[1:] = (all_x[1:] - all_x[:-1]).astype(np.uint16)
+            dx16[starts] = 0
+            dq16 = np.zeros(M, np.int16)
+            dq16[1:] = (all_q[1:] - all_q[:-1]).astype(np.int16)
+            dq16[starts] = 0
+            safe = np.minimum(offs, max(M - 1, 0))
+            base_x = all_x[safe]
+            base_q = all_q[safe]
+        else:
+            all_x = np.zeros(0, np.uint32)
+            all_q = np.zeros(0, np.int32)
+            all_span = all_sid = np.zeros(0, np.uint8)
+            flat_w = np.zeros(0, np.uint8)
+            dx16 = np.zeros(0, np.uint16)
+            dq16 = np.zeros(0, np.int16)
+            base_x = np.zeros(B, np.uint32)
+            base_q = np.zeros(B, np.int32)
+        MP = max(8, 1 << int(np.ceil(np.log2(max(M, 1)))))
+        pad16 = lambda a: np.concatenate(
+            [a, np.zeros(MP - M, a.dtype)]).view(np.uint32)
+        wssbuf = np.zeros(3 * MP, np.uint8)
+        wssbuf[:M] = flat_w
+        wssbuf[MP:MP + M] = all_span
+        wssbuf[2 * MP:2 * MP + M] = all_sid
+        nv = np.zeros(B, np.int32)
+        nv[:len(recs)] = [r.n for r in recs]
+        mdx = np.zeros(B, np.int32)
+        mdx[:len(recs)] = [r.max_dist_x for r in recs]
+        mdy = np.zeros(B, np.int32)
+        mdy[:len(recs)] = [r.max_dist_y for r in recs]
+        bwv = np.zeros(B, np.int32)
+        bwv[:len(recs)] = [r.bw for r in recs]
+        nsegs = np.zeros(B, np.int32)
+        nsegs[:len(recs)] = [r.n_segs for r in recs]
+        u = lambda a: np.ascontiguousarray(a).view(np.uint32).ravel()
+        blob = np.concatenate([
+            u(nv), u(base_x), u(base_q), u(mdx), u(mdy), u(bwv),
+            u(nsegs), u(avg32), u(cdd), u(cdel),
+            pad16(dx16), pad16(dq16), wssbuf.view(np.uint32)])
+        delta_d, scores_d, peaks_d = _chain_win_ragged_blob(
+            jnp.asarray(blob), B=B, N=N, MP=MP, CK=CORR_K, W=W,
+            with_heuristics=with_heuristics)
+        try:
+            delta_d.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append((plan_idxs, nv, offs, avg32, all_x, all_q,
+                        all_span, all_sid, delta_d, scores_d, peaks_d))
+    for (plan_idxs, nv, offs, avg32, all_x, all_q, all_span, all_sid,
+         delta_d, scores_d, peaks_d) in pending:
+        delta = np.asarray(delta_d)
+        rec = native.chain_scores_peaks_native(
+            nv.astype(np.int64), offs, avg32.astype(np.float64),
+            all_x, all_q, all_span, all_sid, delta)
+        if rec is None:                # no C toolchain: pull wide
+            iota = np.arange(delta.shape[1], dtype=np.int32)[None, :]
+            parents = np.where(delta > 0, iota - delta.astype(np.int32),
+                               -1).astype(np.int32)
+            scores, peaks = np.asarray(scores_d), np.asarray(peaks_d)
+        else:
+            scores, parents, peaks = rec
+        for b, k in enumerate(plan_idxs):
+            m = records[k].n
+            results[k] = (scores[b, :m], parents[b, :m], peaks[b, :m])
+    return deferred
+
+
 def chain_batch(records: Sequence[chain_io.ChainRecord],
                 with_heuristics: bool = True,
                 cell_budget: int = 1 << 23, mesh=None,
@@ -305,14 +711,66 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
     from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
 
     results: List[tuple] = [None] * len(records)
-    plans = plan_batches([r.n for r in records], cell_budget=cell_budget,
-                         max_batch=4096)
+    single = mesh is None or getattr(mesh, "size", 1) == 1
     deferred: List[int] = []
+    wide_idx = list(range(len(records)))
+    if single and not _force_table:
+        ws_all = chain_io.window_starts_all(records, MAX_ITER)
+        # per-record max window width / sid / delta ranges, vectorized
+        # over ALL records at once (per-record numpy loops cost ~1.5 s
+        # for 16k records)
+        lens = np.array([len(ws) for ws in ws_all], np.int64)
+        nr = len(records)
+        widths = [0] * nr
+        ok = np.zeros(nr, bool)
+        ok[lens == 0] = True
+        if lens.sum():
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nz = lens > 0
+            starts = offs[nz]
+            flat_ws = np.concatenate(
+                [ws for ws in ws_all if len(ws)]).astype(np.int64)
+            pos = np.arange(lens.sum(), dtype=np.int64) \
+                - np.repeat(offs, lens)
+            wmaxs = np.zeros(nr, np.int64)
+            wmaxs[nz] = np.maximum.reduceat(pos - flat_ws, starts)
+            widths = [int(w) for w in wmaxs]
+            all_x = np.concatenate(
+                [records[k].x_lo for k in range(nr) if lens[k]])
+            all_q = np.concatenate(
+                [records[k].qi for k in range(nr) if lens[k]]
+            ).astype(np.int64)
+            all_sid = np.concatenate(
+                [records[k].sid for k in range(nr) if lens[k]]
+            ).astype(np.int64)
+            dxg = np.zeros(len(all_x), np.int64)
+            dxg[1:] = (all_x[1:] - all_x[:-1]).astype(np.uint32)
+            dxg[starts] = 0
+            dqg = np.zeros(len(all_q), np.int64)
+            dqg[1:] = all_q[1:] - all_q[:-1]
+            dqg[starts] = 0
+            okz = ((np.maximum.reduceat(dxg, starts) < 65536)
+                   & (np.maximum.reduceat(dqg, starts) <= 32767)
+                   & (np.minimum.reduceat(dqg, starts) >= -32768)
+                   & (np.maximum.reduceat(all_sid, starts) <= 255)
+                   & (wmaxs[nz] <= NARROW_WCAP))
+            ok[nz] = okz
+        narrow = [k for k in wide_idx if ok[k]]
+        if narrow:
+            nset = set(narrow)
+            wide_idx = [k for k in wide_idx if k not in nset]
+            deferred += _chain_narrow_batch(
+                records, narrow, widths, results, with_heuristics)
+    if not wide_idx:
+        plans = []
+    else:
+        plans = plan_batches([records[k].n for k in wide_idx],
+                             cell_budget=cell_budget, max_batch=4096)
     for plan in plans:
-        plan_idxs = list(plan.indices)
+        plan_idxs = [wide_idx[j] for j in plan.indices]
         recs = [records[k] for k in plan_idxs]
         B, N = pad_batch(plan.batch, mesh), plan.length
-        t_size0 = int(max(r.max_dist_x for r in recs)) + 1
+        t_size0 = int(max(max(r.max_dist_x, r.bw) for r in recs)) + 1
         if not _force_table:
             avg_r = np.array([np.float32(r.avg_qspan) for r in recs],
                              np.float32)
@@ -335,8 +793,16 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
         qi = pad_stack([r.qi for r in recs], B, N, dtype=np.int32)
         span = pad_stack([r.q_span for r in recs], B, N, dtype=np.int32)
         sid = pad_stack([r.sid for r in recs], B, N, dtype=np.int32)
-        st = pad_stack(chain_io.window_starts_all(recs, MAX_ITER),
-                       B, N, dtype=np.int32)
+        ws_list = chain_io.window_starts_all(recs, MAX_ITER)
+        st = pad_stack(ws_list, B, N, dtype=np.int32)
+        # max two-pointer window width of the plan, rounded up to a
+        # 32-multiple (childbit word packing); the windowed kernel only
+        # pays off when it is genuinely narrower than the record
+        wmax = max((int((np.arange(len(ws)) - ws).max()) if len(ws)
+                    else 0) for ws in ws_list)
+        W = -(-max(wmax, 1) // 32) * 32
+        if W >= N:
+            W = 0                       # dense kernel
         n = np.zeros(B, np.int32)
         n[:len(recs)] = [r.n for r in recs]
         mdx = np.zeros(B, np.int32)
@@ -347,7 +813,7 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
         bw[:len(recs)] = [r.bw for r in recs]
         nsegs = np.zeros(B, np.int32)
         nsegs[:len(recs)] = [r.n_segs for r in recs]
-        t_size = int(max(r.max_dist_x for r in recs)) + 1
+        t_size = int(max(max(r.max_dist_x, r.bw) for r in recs)) + 1
         avg32 = np.zeros(B, np.float32)
         avg32[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
         use_table = _force_table
@@ -374,14 +840,23 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
                 use_table=use_table))
             scores, parents, peaks = out[0], out[1], out[2]
         else:
-            (x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
-             avg32, corr_dd, corr_delta) = shard_args(
-                mesh, x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
-                clin, avg32, corr_dd, corr_delta)
-            scores, parents, peaks = _chain_dp_device(
-                x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs, clin,
-                avg32, corr_dd, corr_delta,
-                with_heuristics=with_heuristics, use_table=use_table)
+            width_arr = np.arange(N, dtype=np.int32)[None, :] - st
+            (x_lo, qi, span, sid, st, width_arr, n, mdx, mdy, bw,
+             nsegs, clin, avg32, corr_dd, corr_delta) = shard_args(
+                mesh, x_lo, qi, span, sid, st, width_arr, n, mdx, mdy,
+                bw, nsegs, clin, avg32, corr_dd, corr_delta)
+            if W:
+                scores, parents, peaks = _chain_dp_win_device(
+                    x_lo, qi, span, sid, width_arr, n, mdx, mdy, bw,
+                    nsegs, clin, avg32, corr_dd, corr_delta, W,
+                    with_heuristics=with_heuristics,
+                    use_table=use_table)
+            else:
+                scores, parents, peaks = _chain_dp_device(
+                    x_lo, qi, span, sid, st, n, mdx, mdy, bw, nsegs,
+                    clin, avg32, corr_dd, corr_delta,
+                    with_heuristics=with_heuristics,
+                    use_table=use_table)
             scores = np.asarray(scores)
             parents = np.asarray(parents)
             peaks = np.asarray(peaks)

@@ -162,9 +162,17 @@ def _fast_chain_device(x_lo, x_hi, qi, span8, st, n, mdx, mdxy, bw,
         cont = (dr == 0) | (dq <= 0) | (dq > mdxy[:, None, None]) \
             | (dd > bw[:, None, None])
         # explicit floor: TPU's f32->s32 convert rounds to NEAREST,
-        # the C cast truncates (dd=40, avg=27.5: 10.999999 -> 11 vs 10)
-        c_lin = jnp.floor((dd.astype(f32) * f32(0.01))
-                          * avg_qspan[:, None, None]).astype(i32)
+        # the C cast truncates (dd=40, avg=27.5: 10.999999 -> 11 vs 10).
+        # optimization_barrier pins the C's (dd*0.01f)*avg evaluation
+        # order: XLA duplicates this fusion into the score path AND the
+        # argmax path, and was observed REASSOCIATING one duplicate to
+        # dd*(0.01f*avg) (loop-invariant hoist) — which flips floor()
+        # exactly at boundary products like dd=40, so the two paths
+        # disagreed and the picked parent didn't match the reported
+        # score (1 line in 4.2M on the bench input).
+        t1 = lax.optimization_barrier(dd.astype(f32) * f32(0.01))
+        c_lin = jnp.floor(lax.optimization_barrier(
+            t1 * avg_qspan[:, None, None])).astype(i32)
         log_dd = jnp.where(dd > 0, 31 - lax.clz(dd), 0)
         sc0 = jnp.minimum(jnp.minimum(dq, dr), span_i)
         return jnp.where(cont, NEG, sc0 - (c_lin + (log_dd >> 1)) + scj)
@@ -198,8 +206,17 @@ def _fast_chain_device(x_lo, x_hi, qi, span8, st, n, mdx, mdxy, bw,
             eff = (js[None, None, :] >= st_t[:, :, None]) & act_t[:, :, None]
             scm = jnp.where(eff, sc, NEG)                # (B, T, CHUNK)
             cm = jnp.max(scm, axis=2)
-            jsel = jnp.max(jnp.where(scm == cm[:, :, None],
-                                     js[None, None, :], -1), axis=2)
+            # ties pick the LARGEST j = FIRST max of the reversed scan:
+            # argmax on the j-reversed array.  (The previous
+            # max(where(scm == cm, js, -1)) form was miscompiled by
+            # XLA TPU inside this loop — score right, lower j on ties,
+            # one line in 4.2M on the bench input — and
+            # optimization_barrier did NOT fix it; argmax lowers
+            # through a different reduce and verifies byte-exact.)
+            jsel = jnp.where(
+                cm > NEG,
+                c0 + (CH - 1) - jnp.argmax(scm[:, :, ::-1], axis=2
+                                           ).astype(i32), -1)
             upd = cm > farf                              # descending chunks:
             return (cidx + 1, jnp.where(upd, cm, farf),  # ties keep larger j
                     jnp.where(upd, jsel, farj))
@@ -224,8 +241,11 @@ def _fast_chain_device(x_lo, x_hi, qi, span8, st, n, mdx, mdxy, bw,
             eff = (tlane[None, :] < l) & (js_t >= sti)
             scm = jnp.where(eff, sc, NEG)                # (B, T)
             nearf = jnp.max(scm, axis=1)
-            nearj = jnp.max(jnp.where(scm == nearf[:, None], js_t, -1),
-                            axis=1)
+            # largest-j tie rule via reversed argmax (see far-pass note)
+            nearj = jnp.where(
+                nearf > NEG,
+                t0 + (T - 1) - jnp.argmax(scm[:, ::-1], axis=1
+                                          ).astype(i32), -1)
             ff = lax.dynamic_slice(farf, (0, l), (B, 1))[:, 0]
             fj = lax.dynamic_slice(farj, (0, l), (B, 1))[:, 0]
             nwin = nearf >= ff                           # near = larger j

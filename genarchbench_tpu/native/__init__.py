@@ -463,6 +463,62 @@ def fast_chain_scores_native(ns, avg, x_lo, qi, span, parents):
     return scores
 
 
+def chain_scores_peaks_native(ns, offs, avg, x_flat, qi_flat, span_flat,
+                              sid_flat, delta):
+    """Decode delta-u8 parents and reconstruct chain scores+peaks
+    (B,N) i32 from the RAGGED flat anchor arrays (offs[b] = start of
+    record b) with the reference's f64 gap cost; None when the native
+    library is unavailable."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    B, N = delta.shape
+    ns = np.ascontiguousarray(ns, np.int64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    avg = np.ascontiguousarray(avg, np.float64)
+    x_flat = np.ascontiguousarray(x_flat, np.uint32)
+    qi_flat = np.ascontiguousarray(qi_flat, np.int32)
+    span_flat = np.ascontiguousarray(span_flat, np.uint8)
+    sid_flat = np.ascontiguousarray(sid_flat, np.uint8)
+    delta = np.ascontiguousarray(delta, np.uint8)
+    parents = np.full((B, N), -1, np.int32)
+    scores = np.zeros((B, N), np.int32)
+    peaks = np.zeros((B, N), np.int32)
+    lib.chain_scores_peaks(
+        ctypes.c_int64(B), ctypes.c_int64(N),
+        _as_ptr(ns, ctypes.c_int64), _as_ptr(offs, ctypes.c_int64),
+        _as_ptr(avg, ctypes.c_double),
+        _as_ptr(x_flat, ctypes.c_uint32), _as_ptr(qi_flat, ctypes.c_int32),
+        _as_ptr(span_flat, ctypes.c_uint8), _as_ptr(sid_flat, ctypes.c_uint8),
+        _as_ptr(delta, ctypes.c_uint8), _as_ptr(parents, ctypes.c_int32),
+        _as_ptr(scores, ctypes.c_int32), _as_ptr(peaks, ctypes.c_int32))
+    return scores, parents, peaks
+
+
+def chain_gap_corr_native(avg32, t_size, ck, safe_prod):
+    """Sparse f32-vs-f64 gap-cost corrections per record: returns
+    (corr_dd, corr_delta, over) with over a bool array of rows needing
+    the exact-table path; None when the native library is
+    unavailable."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    avg32 = np.ascontiguousarray(avg32, np.float32)
+    nb = len(avg32)
+    corr_dd = np.full((nb, ck), -1, np.int32)
+    corr_delta = np.zeros((nb, ck), np.int32)
+    over = np.zeros(nb, np.uint8)
+    lib.chain_gap_corr(
+        ctypes.c_int64(nb), _as_ptr(avg32, ctypes.c_float),
+        ctypes.c_int64(t_size), ctypes.c_int64(ck),
+        ctypes.c_double(safe_prod), _as_ptr(corr_dd, ctypes.c_int32),
+        _as_ptr(corr_delta, ctypes.c_int32),
+        _as_ptr(over, ctypes.c_uint8))
+    return corr_dd, corr_delta, over
+
+
 def bgzf_decompress(raw: bytes) -> Optional[bytes]:
     """Decode a whole BGZF byte string natively; None on any failure
     (caller falls back to the Python decoder)."""

@@ -404,6 +404,130 @@ void fast_chain_scores(int64_t B, int64_t N, const int64_t *ns,
     }
 }
 
+/* chain (minimap2-exact) score + peak reconstruction from parents.
+ *
+ * The windowed TPU kernel (kernels/chain.py::_chain_dp_win_device)
+ * pulls only the delta-packed parents; scores/peaks follow exactly:
+ * the gap cost repeats the reference's f64 math
+ * (chain/src/host_kernel.cpp:74,79: double promotion of the f32
+ * avg_qspan, truncation toward zero), the seg-id branch its :76-80
+ * else-arm, and peaks its :91-93 running-max rule. */
+void chain_scores_peaks(int64_t B, int64_t N, const int64_t *ns,
+                        const int64_t *offs, const double *avg,
+                        const uint32_t *x_lo, const int32_t *qi,
+                        const uint8_t *span, const uint8_t *sid,
+                        const uint8_t *delta, int32_t *parents,
+                        int32_t *scores, int32_t *peaks) {
+    for (int64_t b = 0; b < B; b++) {
+        const uint32_t *xl = x_lo + offs[b];   /* ragged flat inputs */
+        const int32_t *q = qi + offs[b];
+        const uint8_t *sp = span + offs[b];
+        const uint8_t *sd = sid + offs[b];
+        const uint8_t *dl = delta + b * N;     /* padded device output */
+        int32_t *par = parents + b * N;
+        int32_t *sc = scores + b * N;
+        int32_t *pk = peaks + b * N;
+        double av = (double)(float)avg[b];
+        int64_t n = ns[b];
+        for (int64_t i = 0; i < n; i++) {
+            int32_t p = dl[i] ? (int32_t)(i - dl[i]) : -1;
+            par[i] = p;
+            if (p < 0) {
+                sc[i] = sp[i];
+                pk[i] = sp[i];
+                continue;
+            }
+            int32_t dr = (int32_t)(xl[i] - xl[p]);
+            int32_t dq = q[i] - q[p];
+            int32_t dd = dr - dq;
+            if (dd < 0) dd = -dd;
+            int32_t log_dd = dd ? 31 - __builtin_clz((uint32_t)dd) : 0;
+            int32_t clin = (int32_t)((double)dd * 0.01 * av);
+            int32_t gap, bonus = 0;
+            if (sd[i] == sd[p]) {
+                gap = clin + (log_dd >> 1);
+            } else if (dr == 0) {
+                gap = 0;
+                bonus = 1;
+            } else {
+                gap = clin < log_dd ? clin : log_dd;
+            }
+            int32_t sc0 = dq < dr ? dq : dr;
+            if ((int32_t)sp[i] < sc0) sc0 = sp[i];
+            sc[i] = sc0 + bonus - gap + sc[p];
+            pk[i] = pk[p] > sc[i] ? pk[p] : sc[i];
+        }
+    }
+}
+
+/* chain gap-cost f32-vs-f64 correction scan (kernels/chain.py
+ * gap_corrections): for record r the device computes
+ *   appr32 = (f32)((f32)dd * 0.01f) * avg32[r]
+ * while the reference computes (int)((f64)(dd * .01) * avg)
+ * (host_kernel.cpp:74).  Truncations can only differ when the product
+ * is within ~4e-3 of an integer, i.e. dd within (4e-3/c) of k/c for
+ * c = 0.01*avg — so instead of scanning every dd (t_size up to 5001,
+ * ~8 s in numpy for a 16k-record batch) enumerate the candidate
+ * integers k and test dd = round(k/c) +- 1.  Writes up to CK
+ * (dd, delta) pairs per record; rows needing more, or whose max
+ * product exceeds safe_prod (the window no longer bounds the f32
+ * error), get over[r] = 1 and defer to the exact-table path.
+ * Requires c >= 0.02 (avg >= 2) so each integer maps to <= 3 dd
+ * candidates; smaller avgs also set over[r]. */
+void chain_gap_corr(int64_t nb, const float *avg32, int64_t t_size,
+                    int64_t ck, double safe_prod, int32_t *corr_dd,
+                    int32_t *corr_delta, uint8_t *over) {
+    for (int64_t r = 0; r < nb; r++) {
+        float a32 = avg32[r];
+        double av = (double)a32;
+        double c = 0.01 * av;
+        over[r] = 0;
+        if (av * ((double)(t_size - 1) * 0.01) > safe_prod) {
+            over[r] = 1;
+            continue;
+        }
+        if (av < 2.0) {
+            /* tiny avg: candidate spacing exceeds 1, dense-scan row */
+            int64_t cnt = 0;
+            for (int64_t dd = 1; dd < t_size; dd++) {
+                float ap = ((float)dd * 0.01f) * a32;
+                int32_t ai = (int32_t)ap;
+                int32_t ei = (int32_t)((double)dd * 0.01 * av);
+                if (ai != ei) {
+                    if (cnt < ck) {
+                        corr_dd[r * ck + cnt] = (int32_t)dd;
+                        corr_delta[r * ck + cnt] = ei - ai;
+                    }
+                    cnt++;
+                }
+            }
+            over[r] = cnt > ck;
+            continue;
+        }
+        int64_t kmax = (int64_t)(c * (double)(t_size - 1)) + 1;
+        int64_t cnt = 0;
+        int64_t last_dd = -1;
+        for (int64_t k = 1; k <= kmax && cnt <= ck; k++) {
+            int64_t dd0 = (int64_t)(((double)k) / c + 0.5);
+            for (int64_t dd = dd0 - 1; dd <= dd0 + 1; dd++) {
+                if (dd < 1 || dd >= t_size || dd <= last_dd) continue;
+                float ap = ((float)dd * 0.01f) * a32;
+                int32_t ai = (int32_t)ap;
+                int32_t ei = (int32_t)((double)dd * 0.01 * av);
+                if (ai != ei) {
+                    last_dd = dd;
+                    if (cnt < ck) {
+                        corr_dd[r * ck + cnt] = (int32_t)dd;
+                        corr_delta[r * ck + cnt] = ei - ai;
+                    }
+                    cnt++;
+                }
+            }
+        }
+        over[r] = cnt > ck;
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* bsw batch assembly: gather + 4-bit pack (two bases/byte)            */
 /* ------------------------------------------------------------------ */

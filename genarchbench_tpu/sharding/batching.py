@@ -67,7 +67,10 @@ def pad_stack(arrays: Sequence[np.ndarray], batch: int, length: int,
               fill=0, dtype=None) -> np.ndarray:
     """Stack 1-D arrays into a (batch, length) padded matrix."""
     dtype = dtype or arrays[0].dtype
-    out = np.full((batch, length), fill, dtype=dtype)
+    if fill == 0:
+        out = np.zeros((batch, length), dtype=dtype)   # calloc: no fill pass
+    else:
+        out = np.full((batch, length), fill, dtype=dtype)
     for i, a in enumerate(arrays):
         out[i, :len(a)] = a
     return out

@@ -92,3 +92,42 @@ def test_chain_blob_single_device_path(chain_ref, tmp_path):
     out = io_mod.StringIO()
     chain_io.write_returns(out, [(s, p) for s, p, _ in results])
     assert out.getvalue() == ref_out
+
+
+def test_gap_corr_native_matches_dense_scan():
+    """The native candidate-enumeration correction scan
+    (readers.c::chain_gap_corr) must find exactly the dd values where
+    the device's two-op f32 gap product truncates differently from the
+    reference's f64 one (host_kernel.cpp:74) — verified against an
+    exhaustive dense scan over a wide avg_qspan range including the
+    tiny-avg dense-fallback branch and the SAFE_PROD deferral."""
+    from genarchbench_tpu import native
+    from genarchbench_tpu.kernels.chain import CORR_K, SAFE_PROD
+    rng = np.random.default_rng(0)
+    avgs = np.concatenate(
+        [rng.uniform(2.0, 400.0, 120), rng.uniform(0.2, 2.0, 20),
+         [10.0, 25.5, 39.99, 655.0]]).astype(np.float32)
+    t_size = 5001
+    res = native.chain_gap_corr_native(avgs, t_size, CORR_K, SAFE_PROD)
+    if res is None:
+        pytest.skip("native library unavailable")
+    cdd, cdel, over = res
+    for r, a32 in enumerate(avgs):
+        av = float(a32)
+        if av * (t_size - 1) * 0.01 > SAFE_PROD:
+            assert over[r]
+            continue
+        dd64 = np.arange(t_size, dtype=np.float64)
+        exact = (dd64 * 0.01 * av).astype(np.int32)
+        appr = ((np.arange(t_size, dtype=np.float32)
+                 * np.float32(0.01)) * a32).astype(np.int32)
+        mism = np.nonzero(appr != exact)[0]
+        if len(mism) > CORR_K:
+            assert over[r]
+            continue
+        assert not over[r]
+        got = cdd[r][cdd[r] >= 0]
+        assert set(got.tolist()) == set(mism.tolist())
+        for d_, del_ in zip(cdd[r], cdel[r]):
+            if d_ >= 0:
+                assert exact[d_] - appr[d_] == del_
