@@ -290,11 +290,15 @@ def _occ4(occtab, pp):
 
 def _backward_ext(idx, k, l, s, a):
     """Vectorized backwardExt (FMI_search.cpp:1268-1298).  idx = tuple
-    (count5, occtab, sentinel)."""
+    (count5, occtab, sentinel).  The two GET_OCC lookups (interval
+    start k and end k+s) ride ONE stacked gather — gather cost on this
+    TPU is per-op fixed cost + per-row, so halving the op count nearly
+    halves the extension cost for narrow (B,) state."""
     count5, occtab, sentinel = idx
     a = jnp.clip(a, 0, 3)
-    osp = _occ4(occtab, k)                        # (..., 4)
-    oep = _occ4(occtab, k + s)
+    both = _occ4(occtab, jnp.stack([k, k + s], axis=-1))  # (..., 2, 4)
+    osp = both[..., 0, :]                         # (..., 4)
+    oep = both[..., 1, :]
     kk4 = count5[:4] + osp
     ss4 = oep - osp
     sent = ((k <= sentinel) & (k + s > sentinel)).astype(jnp.int32)
@@ -303,11 +307,32 @@ def _backward_ext(idx, k, l, s, a):
     l1 = l2 + ss4[..., 2]
     l0 = l1 + ss4[..., 1]
     ll = [l0, l1, l2, l3]
-    sel4 = lambda t: jnp.take_along_axis(
-        t, a[..., None], axis=-1)[..., 0]
+    # where-chains, NOT take_along_axis: minor-axis gathers cost ~1-2ms
+    # per element-block per step on this TPU (same disease as the
+    # compaction permutes, see bwd_step)
     sel = lambda vs: jnp.where(a == 0, vs[0], jnp.where(
         a == 1, vs[1], jnp.where(a == 2, vs[2], vs[3])))
+    sel4 = lambda t: sel([t[..., 0], t[..., 1], t[..., 2], t[..., 3]])
     return sel4(kk4), sel(ll), sel4(ss4)
+
+
+def _backward_ext_ks(idx, k, s, a):
+    """backwardExt for the backward SMEM walk, which consumes only
+    (k, s): the reverse-complement interval l is needed solely to seed
+    FORWARD extensions (FMI_search.cpp:1268-1298), so its update chain
+    is omitted from the hot loop."""
+    count5, occtab, _ = idx
+    a = jnp.clip(a, 0, 3)
+    both = _occ4(occtab, jnp.stack([k, k + s], axis=-1))
+    osp = both[..., 0, :]
+    oep = both[..., 1, :]
+    kk4 = count5[:4] + osp
+    ss4 = oep - osp
+    sel = lambda t: jnp.where(
+        a == 0, t[..., 0], jnp.where(a == 1, t[..., 1],
+                                     jnp.where(a == 2, t[..., 2],
+                                               t[..., 3])))
+    return sel(kk4), sel(ss4)
 
 
 def _qchar(qdb, off, j, valid):
@@ -318,18 +343,21 @@ def _qchar(qdb, off, j, valid):
 
 
 def _last_eligible_scan(elig, val):
-    """For each p: value of the last eligible index < p (or -1)."""
+    """For each p: value of the last eligible index < p (or -1).
+    Hand-rolled Hillis-Steele shift scan — lax.associative_scan lowers
+    to dynamic-slice towers on TPU that measured ~10x slower than
+    static pad+slice shifts (see the chain kernel's scans)."""
     B, P = elig.shape
     vals = jnp.where(elig, val, -1)
-
-    def comb(a, b):
-        av, bv = a, b
-        return jnp.where(bv >= 0, bv, av)
-
-    run = lax.associative_scan(comb, vals, axis=1)
-    prev = jnp.concatenate([jnp.full((B, 1), -1, run.dtype),
-                            run[:, :-1]], axis=1)
-    return prev
+    res = jnp.concatenate(
+        [jnp.full((B, 1), -1, vals.dtype), vals[:, :-1]], axis=1)
+    d = 1
+    while d < P:
+        sh = jnp.concatenate(
+            [jnp.full((B, d), -1, res.dtype), res[:, :-d]], axis=1)
+        res = jnp.where(res >= 0, res, sh)
+        d *= 2
+    return res
 
 
 def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
@@ -355,7 +383,6 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
     pm = jnp.zeros((B, Pmax), i32)
     pn = jnp.zeros((B, Pmax), i32)
     pk = jnp.zeros((B, Pmax), i32)
-    pl = jnp.zeros((B, Pmax), i32)
     ps = jnp.zeros((B, Pmax), i32)
     npv = jnp.zeros((B,), i32)
 
@@ -368,7 +395,7 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
         return out, npv + mask.astype(i32)
 
     def fwd_body(carry):
-        (m, n, k, l, s, pm, pn, pk, pl, ps, npv, nx, on, j) = carry
+        (m, n, k, l, s, pm, pn, pk, ps, npv, nx, on, j) = carry
         jj = x0 + j
         valid = on & (jj < qlen)
         a = _qchar(qdb, qoff, jj, valid)
@@ -378,8 +405,8 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
         nk, nl, ns = _backward_ext(idx, l, k, s, 3 - a)
         nk, nl = nl, nk
         s_neq = good & (ns != s)
-        (pm, pn, pk, pl, ps), npv = push(
-            (pm, pn, pk, pl, ps), npv, (m, n, k, l, s), s_neq)
+        (pm, pn, pk, ps), npv = push(
+            (pm, pn, pk, ps), npv, (m, n, k, s), s_neq)
         die = good & (ns < min_intv)
         nx = jnp.where(die, jj, nx)
         grow = good & ~die
@@ -390,10 +417,10 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
         s = jnp.where(grow, ns, s)
         nx = jnp.where(grow, jj + 1, nx)
         on = on & grow
-        return (m, n, k, l, s, pm, pn, pk, pl, ps, npv, nx, on, j + 1)
+        return (m, n, k, l, s, pm, pn, pk, ps, npv, nx, on, j + 1)
 
     def fwd_cond(carry):
-        return jnp.any(carry[12])
+        return jnp.any(carry[11])
 
     def fwd_block(carry):
         for _ in range(FMI_UNROLL):
@@ -402,24 +429,28 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
 
     m = x0
     n = x0
-    carry = (m, n, k0, l0, s0, pm, pn, pk, pl, ps, npv,
+    carry = (m, n, k0, l0, s0, pm, pn, pk, ps, npv,
              x0 + 1, lane_on, jnp.asarray(1, i32))
-    (m, n, k, l, s, pm, pn, pk, pl, ps, npv, next_x, _, _) = \
+    (m, n, k, l, s, pm, pn, pk, ps, npv, next_x, _, _) = \
         lax.while_loop(fwd_cond, fwd_block, carry)
 
     # final forward push: if smem.s >= min_intv
     fin = lane_on & (s >= min_intv)
-    (pm, pn, pk, pl, ps), npv = push(
-        (pm, pn, pk, pl, ps), npv, (m, n, k, l, s), fin)
+    (pm, pn, pk, ps), npv = push(
+        (pm, pn, pk, ps), npv, (m, n, k, s), fin)
     # push() drops entries past Pmax but keeps counting: detectable
     ovf = lane_on & (npv > Pmax)
 
-    # reverse the first npv entries
+    # reverse the first npv entries (one-hot multiply-reduce — see the
+    # take_along_axis note in bwd_step)
     slots = lax.broadcasted_iota(i32, (B, Pmax), 1)
-    ridx = jnp.clip(npv[:, None] - 1 - slots, 0, Pmax - 1)
     inpv = slots < npv[:, None]
-    rev = lambda b: jnp.where(inpv, jnp.take_along_axis(b, ridx, 1), b)
-    pm, pn, pk, pl, ps = rev(pm), rev(pn), rev(pk), rev(pl), rev(ps)
+    R = ((slots[:, None, :] == npv[:, None, None] - 1
+          - slots[:, :, None]) & inpv[:, :, None])
+    rev = lambda b: jnp.where(
+        inpv, jnp.where(R, b[:, None, :], 0).sum(axis=2, dtype=b.dtype),
+        b)
+    pm, pn, pk, ps = rev(pm), rev(pn), rev(pk), rev(ps)
 
     # ---- backward search ----
     def emit(bufs, ec, vals, mask):
@@ -430,170 +461,285 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
             out.append(jnp.where(at & mask[:, None], v[:, None], buf))
         return out, ec + mask.astype(i32)
 
-    def bwd_body(carry):
-        (pm, pn, pk, pl, ps, npv, on, j, em, en, es, ec) = carry
-        jj = x0 - j
-        valid = on & (jj >= 0)
-        a = _qchar(qdb, qoff, jj, valid)
-        good = valid & (a < 4)
-        # stop lanes keep npv for the final emission
-        inp = slots < npv[:, None]
-        nk, nl, ns = _backward_ext(idx, pk, pl, ps, a[:, None])
-        plen = pn - pm + 1
-        condA = inp & (ns < min_intv[:, None]) & (plen >= min_seed)
-        condB = inp & (ns >= min_intv[:, None])
-        first = condA | condB
-        has0 = jnp.any(first, axis=1)
-        p0 = jnp.argmax(first, axis=1)
-        isA = has0 & jnp.take_along_axis(condA, p0[:, None], 1)[:, 0]
-        # emit prev[p0]
-        gat = lambda b: jnp.take_along_axis(b, p0[:, None], 1)[:, 0]
-        (em, en, es), ec = emit((em, en, es), ec,
-                                (gat(pm), gat(pn), gat(ps)),
-                                good & isA)
-        # pushes: eligible p >= p0 (> p0 when condA), s-dedup vs last
-        pge = slots >= p0[:, None] + isA.astype(i32)[:, None]
-        elig = condB & pge & has0[:, None]
-        prev_s = _last_eligible_scan(elig, ns)
-        push_p = elig & (ns != prev_s)
-        # compact pushed entries (stable) to the front; pushed entry is
-        # newSmem = (m=jj, n=prev n, k/l/s = extended).  GATHER-based:
-        # perm[t] = source slot of the t-th pushed entry via a one-hot
-        # cumsum match — the previous 5 scatter-writes per step were
-        # the pass-1 wall (scatter is the slowest op class on TPU)
-        csum = jnp.cumsum(push_p.astype(i32), axis=1)
-        ncur = csum[:, -1]
-        t_iota = lax.broadcasted_iota(i32, (B, Pmax, Pmax), 1)
-        j_iota = lax.broadcasted_iota(i32, (B, Pmax, Pmax), 2)
-        E = push_p[:, None, :] & (csum[:, None, :] == t_iota + 1)
-        perm = jnp.where(E, j_iota, 0).sum(axis=2)
-        hasrow = jnp.any(E, axis=2)
+    def bwd_step(P):
+        """One backward step at prev-list width P.  Width-parametric so
+        the loop can NARROW once lists shrink: gather cost is per-row,
+        so running the long tail of the loop at P=4 instead of P=16
+        cuts the dominant occ-gather traffic 4x."""
+        slotsP = lax.broadcasted_iota(i32, (B, P), 1)
+        idt = jnp.int8 if P <= 127 else i32
+        t_iota = lax.broadcasted_iota(idt, (B, P, P), 1)
 
-        def compact(vals):
-            g = jnp.take_along_axis(vals, perm, axis=1)
-            return jnp.where(hasrow, g, 0)
+        def body(carry):
+            (pm, pn, pk, ps, npv, on, j, em, en, es, ec) = carry
+            jj = x0 - j
+            valid = on & (jj >= 0)
+            a = _qchar(qdb, qoff, jj, valid)
+            good = valid & (a < 4)
+            # stop lanes keep npv for the final emission
+            inp = slotsP < npv[:, None]
+            nk, ns = _backward_ext_ks(idx, pk, ps, a[:, None])
+            plen = pn - pm + 1
+            condA = inp & (ns < min_intv[:, None]) & (plen >= min_seed)
+            condB = inp & (ns >= min_intv[:, None])
+            first = condA | condB
+            has0 = jnp.any(first, axis=1)
+            p0 = jnp.argmax(first, axis=1)
+            # one-hot row picks instead of take_along_axis (per-step
+            # minor-axis gathers measured ~10x the elementwise cost)
+            selp0 = slotsP == p0[:, None]
+            isA = has0 & jnp.any(condA & selp0, axis=1)
+            gat = lambda b: jnp.max(jnp.where(selp0, b, 0), axis=1)
+            (em, en, es), ec = emit((em, en, es), ec,
+                                    (gat(pm), gat(pn), gat(ps)),
+                                    good & isA)
+            # pushes: eligible p >= p0 (> p0 when condA), s-dedup
+            pge = slotsP >= p0[:, None] + isA.astype(i32)[:, None]
+            elig = condB & pge & has0[:, None]
+            prev_s = _last_eligible_scan(elig, ns)
+            push_p = elig & (ns != prev_s)
+            # compact pushed entries (stable) to the front; pushed
+            # entry is newSmem = (m=jj, n=prev n, k/l/s = extended).
+            # GATHER-based: perm[t] = source slot of the t-th pushed
+            # entry via a one-hot cumsum match in int8 (scatter is the
+            # slowest op class on TPU; int8 keeps the (B, P, P)
+            # tensors 4x smaller than int32)
+            # inclusive prefix count, hand-rolled (jnp.cumsum also
+            # lowers to a dynamic-slice tower on TPU)
+            csum = push_p.astype(idt)
+            d = 1
+            while d < P:
+                csum = csum + jnp.concatenate(
+                    [jnp.zeros((B, d), idt), csum[:, :-d]], axis=1)
+                d *= 2
+            ncur = csum[:, -1].astype(i32)
+            E = push_p[:, None, :] & (csum[:, None, :] == t_iota + 1)
+            hasrow = jnp.any(E, axis=2)
 
-        npm = jnp.where(hasrow, jj[:, None], 0)
-        npn = compact(pn)
-        npk = compact(nk)
-        npl = compact(nl)
-        nps = compact(ns)
+            def compact(vals):
+                # one-hot multiply-reduce: E has at most one set bit
+                # per target row, so the masked sum IS the permute —
+                # a take_along_axis here costs ~10x (minor-axis gather)
+                return jnp.where(E, vals[:, None, :], 0).sum(
+                    axis=2, dtype=vals.dtype)
 
-        upd = good
-        pm2 = jnp.where(upd[:, None], npm, pm)
-        pn2 = jnp.where(upd[:, None], npn, pn)
-        pk2 = jnp.where(upd[:, None], npk, pk)
-        pl2 = jnp.where(upd[:, None], npl, pl)
-        ps2 = jnp.where(upd[:, None], nps, ps)
-        npv2 = jnp.where(upd, ncur, npv)
-        on2 = on & good & (ncur > 0)
-        return (pm2, pn2, pk2, pl2, ps2, npv2, on2, j + 1,
-                em, en, es, ec)
+            npm = jnp.where(hasrow, jj[:, None], 0)
+            npn = compact(pn)
+            npk = compact(nk)
+            nps = compact(ns)
 
-    def bwd_cond(carry):
-        return jnp.any(carry[6])
+            upd = good
+            pm2 = jnp.where(upd[:, None], npm, pm)
+            pn2 = jnp.where(upd[:, None], npn, pn)
+            pk2 = jnp.where(upd[:, None], npk, pk)
+            ps2 = jnp.where(upd[:, None], nps, ps)
+            npv2 = jnp.where(upd, ncur, npv)
+            on2 = on & good & (ncur > 0)
+            return (pm2, pn2, pk2, ps2, npv2, on2, j + 1,
+                    em, en, es, ec)
 
-    def bwd_block(carry):
-        for _ in range(FMI_UNROLL):
-            carry = bwd_body(carry)
-        return carry
+        return body
 
-    bwd_on = lane_on
-    carry = (pm, pn, pk, pl, ps, npv, bwd_on, jnp.asarray(1, i32),
+    carry = (pm, pn, pk, ps, npv, lane_on, jnp.asarray(1, i32),
              em, en, es, ec)
-    (pm, pn, pk, pl, ps, npv, _, _, em, en, es, ec) = \
+    # two-stage width narrowing: full width only while some LIVE lane
+    # still holds more than 4 entries (lists shrink monotonically —
+    # every step keeps a subset), then slice the front-compacted state
+    # to width 4 for the long tail.  Gather cost is per-row, so the
+    # tail runs ~4x cheaper; finer stage ladders and smaller unrolls
+    # measured WORSE (while-loop fixed cost per iteration dominates).
+    cur = Pmax
+    if cur > 4:
+        step1 = bwd_step(cur)
+
+        def s1_cond(c):
+            return jnp.any(c[5] & (c[4] > 4))
+
+        def s1_block(c):
+            for _ in range(FMI_UNROLL):
+                c = step1(c)
+            return c
+
+        carry = lax.while_loop(s1_cond, s1_block, carry)
+        (pm, pn, pk, ps, npv, on, j, em, en, es, ec) = carry
+        carry = (pm[:, :4], pn[:, :4], pk[:, :4],
+                 ps[:, :4], npv, on, j, em, en, es, ec)
+        cur = 4
+    stepN = bwd_step(cur)
+
+    def bwd_cond(c):
+        return jnp.any(c[5])
+
+    def bwd_block(c):
+        for _ in range(FMI_UNROLL):
+            c = stepN(c)
+        return c
+
+    (pmF, pnF, _, psF, npv, _, _, em, en, es, ec) = \
         lax.while_loop(bwd_cond, bwd_block, carry)
 
     # final: emit prev[0] if it meets min_seed (numPrev != 0 lanes)
-    fmask = lane_on & (npv > 0) & ((pn[:, 0] - pm[:, 0] + 1) >= min_seed)
+    fmask = lane_on & (npv > 0) & ((pnF[:, 0] - pmF[:, 0] + 1)
+                                   >= min_seed)
     (em, en, es), ec = emit((em, en, es), ec,
-                            (pm[:, 0], pn[:, 0], ps[:, 0]), fmask)
+                            (pmF[:, 0], pnF[:, 0], psF[:, 0]), fmask)
 
     return em, en, es, ec, next_x, ovf
 
 
-@partial(jax.jit, static_argnames=("Lmax", "Pmax", "min_seed", "emit_cap",
-                                   "out_w"))
-def _onepos_device(count5, occtab, sentinel,
-                   qdb, qoff, qlen, x0, min_intv, active0,
-                   Lmax, Pmax, min_seed, emit_cap, out_w):
-    """Single OnePos call (reseed pass, fmi.cpp:318-324)."""
-    B = x0.shape[0]
-    i32 = jnp.int32
-    idx = (count5, occtab, sentinel)
-    z = lambda: jnp.zeros((B, emit_cap), i32)
-    em, en, es, ec, nx, ovf = _onepos_core(
-        idx, qdb, qoff, qlen, x0, min_intv, active0,
-        Lmax, Pmax, min_seed, emit_cap, z(), z(), z(),
-        jnp.zeros((B,), i32))
-    ovf_any = jnp.any(ovf) | jnp.any(ec > out_w)
-    return em[:, :out_w], en[:, :out_w], es[:, :out_w], ec, nx, ovf_any
-
-
-@partial(jax.jit, static_argnames=("Lmax", "Pmax", "min_seed", "emit_cap",
-                                   "out_w"))
-def _allpos_device(count5, occtab, sentinel,
-                   qdb, qoff, qlen, min_intv, active0,
-                   Lmax, Pmax, min_seed, emit_cap, out_w):
-    """getSMEMsAllPosOneThread (FMI_search.cpp:915-968) for a batch:
-    the restart-position loop (x = next_x until x >= qlen) runs INSIDE
-    the device program — one dispatch and one narrow d2h per batch
-    instead of one round trip per restart position (the round-3 host
-    loop shipped ~50 MB per restart over a ~100 MB/s link and never
-    finished the bench input)."""
+@partial(jax.jit, static_argnames=("Rcap",))
+def _restart_scan_device(count5, occtab, sentinel, qdb, qoff, qlen,
+                         x_init, min_intv, Rcap):
+    """Pass-1 restart discovery: walks getSMEMsAllPosOneThread's
+    restart chain (x = next_x until x >= qlen, FMI_search.cpp:915-968)
+    with (B,)-NARROW state only — no prev lists, no emission buffers.
+    Each round records one packed u32 item (x0 << 16 | forward-end n,
+    0xFFFFFFFF = none) per lane.  The expensive per-restart backward
+    searches then run over the FLATTENED (read, x0) item list
+    (_onepos_items_device), sorted so lockstep lanes share similar
+    trip counts — this removes the round-4 design's multiplication of
+    max-over-batch restart count by max-over-batch extension length,
+    which made pass 1 ~25x more expensive than the useful work."""
     B = qoff.shape[0]
     i32 = jnp.int32
     idx = (count5, occtab, sentinel)
+    INVALID = jnp.uint32(0xFFFFFFFF)
+    slots = lax.broadcasted_iota(i32, (B, Rcap), 1)
+
+    # PERSISTENT LANES: every iteration advances every lane by exactly
+    # one query position — either initializing a fresh segment at x0 or
+    # extending the current one; a dying segment records its item and
+    # the SAME lane re-initializes next iteration.  Total trip count is
+    # max-over-lanes of (read length + 2 * restarts), with no
+    # round-barrier multiplication of per-restart maxima.
+    def body(c):
+        x0, jj, n, k, l, s, seg_on, cnt, out = c
+        can = cnt < Rcap
+        live = (x0 < qlen) & can
+        pos = jnp.where(seg_on, jj, x0)
+        a = _qchar(qdb, qoff, pos, live & (pos < qlen))
+        good = a < 4
+
+        # init-mode lanes (no current segment)
+        init = live & ~seg_on
+        k0 = jnp.take(count5, jnp.clip(a, 0, 3))
+        l0 = jnp.take(count5, jnp.clip(3 - a, 0, 3))
+        s0 = jnp.take(count5, jnp.clip(a, 0, 3) + 1) - k0
+        start = init & good
+        skip = init & ~good                      # ambiguous base: x++
+
+        # ext-mode lanes
+        ext = live & seg_on
+        valid = ext & (jj < qlen)
+        nk, nl, ns = _backward_ext(idx, l, k, s, 3 - a)
+        nk, nl = nl, nk
+        goodx = valid & good
+        die = goodx & (ns < min_intv)
+        brk = valid & ~good                      # char break: restart jj+1
+        end = ext & (jj >= qlen)
+        fin = die | brk | end
+        grow = goodx & ~die
+
+        # record finished segment (x0, n)
+        at = (slots == cnt[:, None]) & fin[:, None]
+        item = (x0.astype(jnp.uint32) << 16) | (n.astype(jnp.uint32)
+                                                & jnp.uint32(0xFFFF))
+        out = jnp.where(at, item[:, None], out)
+        cnt = cnt + fin.astype(i32)
+
+        nx0 = jnp.where(die, jj,
+                        jnp.where(brk, jj + 1,
+                                  jnp.where(end, qlen,
+                                            jnp.where(skip, x0 + 1,
+                                                      x0))))
+        nx0 = jnp.where(fin | skip, jnp.maximum(nx0, x0 + 1), nx0)
+        seg2 = jnp.where(fin, False, jnp.where(start, True, seg_on))
+        n2 = jnp.where(start, x0, jnp.where(grow, jj, n))
+        k2 = jnp.where(start, k0, jnp.where(grow, nk, k))
+        l2 = jnp.where(start, l0, jnp.where(grow, nl, l))
+        s2 = jnp.where(start, s0, jnp.where(grow, ns, s))
+        jj2 = jnp.where(start, x0 + 1, jnp.where(grow, jj + 1, jj))
+        return (nx0, jj2, n2, k2, l2, s2, seg2, cnt, out)
 
     def cond(c):
-        return jnp.any(c[0])
+        x0, _, _, _, _, _, _, cnt, _ = c
+        return jnp.any((x0 < qlen) & (cnt < Rcap))
 
-    def body(c):
-        act, x, em, en, es, ec, ovf = c
-        em, en, es, ec, nx, ovf1 = _onepos_core(
-            idx, qdb, qoff, qlen, x, min_intv, act,
-            Lmax, Pmax, min_seed, emit_cap, em, en, es, ec)
-        nx = jnp.maximum(nx, x + 1)
-        return (act & (nx < qlen), nx, em, en, es, ec, ovf | ovf1)
+    def block(c):
+        for _ in range(FMI_UNROLL):
+            c = body(c)
+        return c
 
-    z = lambda: jnp.zeros((B, emit_cap), i32)
-    act0 = active0 & (qlen > 0)
-    (_, _, em, en, es, ec, ovf) = lax.while_loop(
-        cond, body, (act0, jnp.zeros((B,), i32), z(), z(), z(),
-                     jnp.zeros((B,), i32), jnp.zeros((B,), bool)))
-    ovf_any = jnp.any(ovf) | jnp.any(ec > out_w)
-    return em[:, :out_w], en[:, :out_w], es[:, :out_w], ec, ovf_any
+    z = jnp.zeros((B,), i32)
+    out0 = jnp.full((B, Rcap), INVALID)
+    c = lax.while_loop(
+        cond, block,
+        (x_init, z, z, z, z, z, jnp.zeros((B,), bool), z, out0))
+    return c[8], c[0]
 
 
-@partial(jax.jit, static_argnames=("min_seed", "emit_cap"))
+@partial(jax.jit, static_argnames=("Pmax", "min_seed", "out_w"))
+def _onepos_items_device(count5, occtab, sentinel, qdb, meta,
+                         Pmax, min_seed, out_w):
+    """One getSMEMsOnePosOneThread per LANE, lanes = flattened
+    (read, restart-position) work items.  meta = (B, 4) int32 rows
+    [qoff, qlen, x0, min_intv] (x0 < 0 = padding lane).  Emission caps
+    are PER-ITEM (<= numPrev + 1 <= Pmax + 1 by the algorithm,
+    FMI_search.cpp:498-914), so a single long read can no longer force
+    a whole-batch full-width rerun; lanes whose prev list or emit
+    buffer overflows return a per-lane flag and only THOSE items are
+    retried wider.  Output is ONE u32 blob
+    [m<<16|n (B,out_w) | s clamped to u8 packed 4/u32 | ec u8 packed
+    4/u32 | ovf bits 32/u32] — one d2h transfer per dispatch (the
+    tunnel charges ~50-100 ms per transfer regardless of size)."""
+    B = meta.shape[0]
+    i32 = jnp.int32
+    qoff, qlen = meta[:, 0], meta[:, 1]
+    x0, mi = meta[:, 2], meta[:, 3]
+    active0 = x0 >= 0
+    z = lambda: jnp.zeros((B, out_w), i32)
+    em, en, es, ec, _, ovf = _onepos_core(
+        (count5, occtab, sentinel), qdb, qoff, qlen,
+        jnp.maximum(x0, 0), mi, active0,
+        0, Pmax, min_seed, out_w, z(), z(), z(),
+        jnp.zeros((B,), i32))
+    ovf = ovf | (ec > out_w)
+    u32 = jnp.uint32
+    mn = ((em.astype(u32) << 16) | (en.astype(u32) & u32(0xFFFF)))
+    s8 = jnp.clip(es, 0, 255).astype(u32).reshape(B, out_w // 4, 4)
+    sh = jnp.arange(4, dtype=u32) * 8
+    s8p = (s8 << sh).sum(axis=2, dtype=u32)
+    ecp = (jnp.clip(ec, 0, 255).astype(u32).reshape(B // 4, 4)
+           << sh).sum(axis=1, dtype=u32)
+    ovp = (ovf.astype(u32).reshape(B // 32, 32)
+           << jnp.arange(32, dtype=u32)).sum(axis=1, dtype=u32)
+    return jnp.concatenate(
+        [mn.ravel(), s8p.ravel(), ecp, ovp])
+
+
+@partial(jax.jit, static_argnames=("min_seed", "Rcap"))
 def _bwt_seed_device(count5, occtab, sentinel,
-                     qdb, qoff, qlen, max_intv, min_seed, emit_cap):
+                     qdb, qoff, qlen, max_intv, x_init, min_seed,
+                     Rcap):
     """bwtSeedStrategyAllPosOneThread for a batch
-    (FMI_search.cpp:975-1075): forward-only sweep, emit the first
-    interval that drops under max_intv at length >= min_seed."""
+    (FMI_search.cpp:975-1075): forward-only restart chain; each ROUND
+    runs one segment per lane (extend until the interval drops under
+    max_intv at length >= min_seed, or a bad char / read end) and
+    records the at-most-one hit per lane per round as a packed column
+    write — emissions live OUTSIDE the inner loop so the hot body
+    stays (B,)-narrow (the per-step (B, emit_cap) buffer rewrites were
+    most of this pass's round-4 cost)."""
     B = qoff.shape[0]
     i32 = jnp.int32
     idx = (count5, occtab, sentinel)
+    INVALID = jnp.uint32(0xFFFFFFFF)
 
-    em = jnp.zeros((B, emit_cap), i32)
-    en = jnp.zeros((B, emit_cap), i32)
-    es = jnp.zeros((B, emit_cap), i32)
-    ec = jnp.zeros((B,), i32)
+    def outer_cond(c):
+        r, x, out = c
+        return (r < Rcap) & jnp.any(x < qlen)
 
-    def emit(bufs, ec, vals, mask):
-        slots2 = lax.broadcasted_iota(i32, (B, emit_cap), 1)
-        at = slots2 == ec[:, None]
-        out = []
-        for buf, v in zip(bufs, vals):
-            out.append(jnp.where(at & mask[:, None], v[:, None], buf))
-        return out, ec + mask.astype(i32)
-
-    def outer_cond(carry):
-        x, em, en, es, ec = carry
-        return jnp.any(x < qlen)
-
-    def outer_body(carry):
-        x, em, en, es, ec = carry
+    def outer_body(c):
+        r, x, out = c
         on0 = x < qlen
         a0 = _qchar(qdb, qoff, x, on0)
         on = on0 & (a0 < 4)
@@ -601,12 +747,13 @@ def _bwt_seed_device(count5, occtab, sentinel,
         l = jnp.take(count5, jnp.clip(3 - a0, 0, 3))
         s = jnp.take(count5, jnp.clip(a0, 0, 3) + 1) - k
         nx = x + 1
+        hitn = jnp.full((B,), -1, i32)
 
-        def inner_cond(c):
-            return jnp.any(c[5])
+        def inner_cond(cc):
+            return jnp.any(cc[5])
 
-        def inner_body(c):
-            (k, l, s, nx, j, on, em, en, es, ec) = c
+        def inner_body(cc):
+            (k, l, s, nx, j, on, hitn) = cc
             jj = x + j
             valid = on & (jj < qlen)
             a = _qchar(qdb, qoff, jj, valid)
@@ -618,25 +765,32 @@ def _bwt_seed_device(count5, occtab, sentinel,
             l2 = jnp.where(good, nl, l)
             s2 = jnp.where(good, ns, s)
             hit = good & (ns < max_intv) & ((jj - x + 1) >= min_seed)
-            (em, en, es), ec = emit((em, en, es), ec,
-                                    (x, jj, ns), hit & (ns > 0))
+            hitn = jnp.where(hit & (ns > 0), jj, hitn)
             on = on & good & ~hit
-            return (k2, l2, s2, nx, j + 1, on, em, en, es, ec)
+            return (k2, l2, s2, nx, j + 1, on, hitn)
 
-        def inner_block(c):
+        def inner_block(cc):
             for _ in range(FMI_UNROLL):
-                c = inner_body(c)
-            return c
+                cc = inner_body(cc)
+            return cc
 
-        (k, l, s, nx, _, _, em, en, es, ec) = lax.while_loop(
+        (k, l, s, nx, _, _, hitn) = lax.while_loop(
             inner_cond, inner_block,
-            (k, l, s, nx, jnp.asarray(1, i32), on, em, en, es, ec))
-        return (nx, em, en, es, ec)
+            (k, l, s, nx, jnp.asarray(1, i32), on, hitn))
+        col = jnp.where(
+            hitn >= 0,
+            (x.astype(jnp.uint32) << 16) | (hitn.astype(jnp.uint32)
+                                            & jnp.uint32(0xFFFF)),
+            INVALID)
+        out = lax.dynamic_update_slice(out, col[:, None], (0, r))
+        nx = jnp.maximum(jnp.where(on0, nx, x), x + 1)
+        return (r + 1, nx, out)
 
-    x0 = jnp.zeros((B,), i32)
-    (_, em, en, es, ec) = lax.while_loop(
-        outer_cond, outer_body, (x0, em, en, es, ec))
-    return em, en, es, ec
+    out0 = jnp.full((B, Rcap), INVALID)
+    _, x, out = lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.asarray(0, i32), x_init, out0))
+    return out, x
 
 
 # ---------------------------------------------------------------------------
@@ -677,63 +831,152 @@ class FMISearch:
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.device_put(qdb_j, NamedSharding(self.mesh, P()))
 
-    def smems_batch(self, qdb: np.ndarray, qoff: np.ndarray,
-                    qlen: np.ndarray, rid: np.ndarray,
-                    min_intv: np.ndarray, x0: np.ndarray,
-                    min_seed: int, Lmax: int,
-                    all_pos: bool) -> List[Tuple[int, int, int, int]]:
-        """Run OnePos (optionally looped over restart positions =
-        AllPos).  Returns [(rid, m, n, s)]."""
+    def restart_items(self, qdb_j, qoff: np.ndarray, qlen: np.ndarray,
+                      min_intv: int, Rcap: int = 8):
+        """Phase A of the all-SMEM pass: per-read restart positions
+        (x0, fwd end n) via _restart_scan_device, resuming for the
+        rare read with more than Rcap restarts.  Returns (ridx, x0,
+        nend) flat arrays in chain order."""
         from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
 
         B = len(qoff)
         Bp = pad_batch(1 << max(B - 1, 1).bit_length(), self.mesh)
         pad = Bp - B
-
-        def padi(a, fill=0):
-            return np.concatenate(
-                [a, np.full(pad, fill, a.dtype)]).astype(np.int32)
-
-        qdb_j = self._replicate(jnp.asarray(qdb.astype(np.int32)))
-        qoff_j, qlen_j, mi_j = shard_args(
-            self.mesh, padi(qoff), padi(qlen), padi(min_intv, 1))
-        rid_p = np.concatenate([rid, np.zeros(pad, rid.dtype)])
-        act0 = np.concatenate([np.ones(B, bool), np.zeros(pad, bool)])
-
-        # narrow prev-list width + narrow d2h window first; the ovf
-        # flag (prev list or emissions overflowed) triggers one rerun
-        # at full width — rare, and the recompile is cache-persistent
-        # narrow first tier: the emit buffers are rebuilt by a full
-        # `where` write on every loop step, so their WIDTH is a per-step
-        # bandwidth cost, not just a d2h cost
-        for Pmax, out_w in ((min(Lmax, 16), min(Lmax + 2, 32)),
-                            (Lmax, 2 * Lmax + 2)):
-            emit_cap = out_w
-            if all_pos:
-                act_j = shard_args(self.mesh, act0)[0]
-                em, en, es, ec, ovf = _allpos_device(
-                    *self._tables(), qdb_j, qoff_j, qlen_j, mi_j,
-                    act_j, Lmax=Lmax, Pmax=Pmax, min_seed=min_seed,
-                    emit_cap=emit_cap, out_w=out_w)
-            else:
-                x_j, act_j = shard_args(
-                    self.mesh,
-                    np.concatenate([x0, np.zeros(pad, np.int32)])
-                    .astype(np.int32), act0)
-                em, en, es, ec, _, ovf = _onepos_device(
-                    *self._tables(), qdb_j, qoff_j, qlen_j, x_j,
-                    mi_j, act_j, Lmax=Lmax, Pmax=Pmax,
-                    min_seed=min_seed, emit_cap=emit_cap, out_w=out_w)
-            if not bool(np.asarray(ovf)):
+        padi = lambda a, f=0: np.concatenate(
+            [a, np.full(pad, f, np.int32)]).astype(np.int32)
+        qoff_j, qlen_j = shard_args(self.mesh, padi(qoff), padi(qlen))
+        mi_j = jnp.asarray(np.int32(min_intv))
+        x = shard_args(self.mesh, np.zeros(Bp, np.int32))[0]
+        chunks = []
+        while True:
+            out, x = _restart_scan_device(
+                *self._tables(), qdb_j, qoff_j, qlen_j, x, mi_j,
+                Rcap=Rcap)
+            chunks.append(np.asarray(out))
+            xh = np.asarray(x)
+            if not (xh[:B] < qlen).any():
                 break
-        em, en, es, ec = (np.asarray(v) for v in (em, en, es, ec))
-        mask = ((np.arange(em.shape[1])[None, :] < ec[:, None])
-                & act0[:, None])
-        bb, tt = np.nonzero(mask)
-        return rid_p[bb], em[bb, tt], en[bb, tt], es[bb, tt]
+            x = shard_args(self.mesh, xh.astype(np.int32))[0]
+        out = np.concatenate(chunks, axis=1)[:B]
+        bb, rr = np.nonzero(out != 0xFFFFFFFF)
+        packed = out[bb, rr]
+        return (bb.astype(np.int32), (packed >> 16).astype(np.int32),
+                (packed & 0xFFFF).astype(np.int32))
 
-    def bwt_seed_batch(self, qdb, qoff, qlen, rid, max_intv: int,
-                       min_seed: int, Lmax: int):
+    def onepos_items(self, qdb_j, item_qoff, item_qlen, item_x0,
+                     item_mi, item_flen, min_seed: int,
+                     chunk: int = 1 << 16):
+        """Phase B: run one backward SMEM search per item, sorted by
+        work size (prev-list bucket, then x0 + fwd length so lockstep
+        chunks share trip counts), with per-item overflow retries at
+        growing prev-list widths.  Returns flat emission arrays
+        (item_index, m, n, s); s is clamped to u8, which never matters:
+        s is only consumed by the reseed filter
+        (s <= SPLIT_WIDTH = 10, fmi.cpp:301-317)."""
+        from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
+
+        M = len(item_x0)
+        Lmax_all = int(item_qlen.max()) if M else 0
+        tiers = [8, 16, 64]
+        wfull = 1 << max(Lmax_all + 1, 2).bit_length()
+        if wfull > 64:
+            tiers.append(wfull)
+        todo = np.ones(M, bool)
+        # numPrev <= #distinct interval sizes <= fwd length + 1, so
+        # short-extension items start at the narrow prev-list tier
+        tier_of = np.where(item_flen < 8, 0, 1)
+        emits = []
+        for ti, Pmax in enumerate(tiers):
+            sel = np.nonzero(todo & (tier_of <= ti))[0]
+            if not len(sel):
+                if not todo.any():
+                    break
+                continue
+            # fwd-replay trip count = chunk max fwd length; the bwd
+            # walk's step distribution is tight (p99 within ~1.5x of
+            # the mean), so fwd length is the divergence that matters
+            order = np.argsort(item_flen[sel], kind="stable")
+            sel = sel[order]
+            # typical emission count per item is 1-2, far below the
+            # numPrev+1 bound: small emit windows cut the d2h blob
+            # (the tunnel moves ~100 MB/s); the rare overflow just
+            # bumps the item a tier
+            out_w = min(Pmax + 4, 12) if Pmax <= 16 else Pmax + 4
+            fails = []
+            # dispatch every chunk before decoding any (device queue
+            # overlaps compute with the d2h pulls)
+            launched = []
+            for lo in range(0, len(sel), chunk):
+                sub = sel[lo:lo + chunk]
+                B = len(sub)
+                Bp = pad_batch(
+                    max(1 << max(B - 1, 1).bit_length(), 32),
+                    self.mesh)
+                meta = np.full((Bp, 4), -1, np.int32)
+                meta[:B, 0] = item_qoff[sub]
+                meta[:B, 1] = item_qlen[sub]
+                meta[:B, 2] = item_x0[sub]
+                meta[:B, 3] = item_mi[sub]
+                meta_j = shard_args(self.mesh, meta)[0]
+                blob_d = _onepos_items_device(
+                    *self._tables(), qdb_j, meta_j,
+                    Pmax=Pmax, min_seed=min_seed, out_w=out_w)
+                try:
+                    blob_d.copy_to_host_async()
+                except AttributeError:
+                    pass
+                launched.append((sub, B, Bp, blob_d))
+            for sub, B, Bp, blob_d in launched:
+                blob = np.asarray(blob_d)
+                mn = blob[:Bp * out_w].reshape(Bp, out_w)
+                s8 = blob[Bp * out_w:Bp * out_w + Bp * out_w // 4]
+                s8 = (s8.reshape(Bp, out_w // 4)[:, :, None]
+                      >> (np.arange(4, dtype=np.uint32) * 8)
+                      ) & 0xFF
+                s8 = s8.reshape(Bp, out_w)
+                ec = ((blob[Bp * out_w * 5 // 4:Bp * out_w * 5 // 4
+                            + Bp // 4].reshape(-1, 1)
+                       >> (np.arange(4, dtype=np.uint32) * 8)) & 0xFF
+                      ).reshape(Bp)
+                ovf = ((blob[-(Bp // 32):].reshape(-1, 1)
+                        >> np.arange(32, dtype=np.uint32)) & 1
+                       ).reshape(Bp).astype(bool)
+                ok = ~ovf[:B]
+                ksub = sub[ok]
+                todo[ksub] = False
+                kec = np.minimum(ec[:B][ok], out_w).astype(np.int64)
+                bb, tt = np.nonzero(
+                    np.arange(out_w)[None, :] < kec[:, None])
+                if len(bb):
+                    emits.append((ksub[bb],
+                                  (mn[:B][ok][bb, tt] >> 16)
+                                  .astype(np.int32),
+                                  (mn[:B][ok][bb, tt] & 0xFFFF)
+                                  .astype(np.int32),
+                                  s8[:B][ok][bb, tt].astype(np.int32)))
+                fails.append(sub[~ok])
+            fails = (np.concatenate(fails) if fails
+                     else np.zeros(0, np.int64))
+            if len(fails):
+                if ti + 1 >= len(tiers):
+                    # the emission bound (<= numPrev+1 <= read length)
+                    # guarantees the full-width tier never overflows;
+                    # a violation must fail loudly, not truncate
+                    raise RuntimeError(
+                        f"fmi: {len(fails)} items overflowed the "
+                        f"full-width prev/emit buffers (P={Pmax})")
+                tier_of[fails] = ti + 1
+        if not emits:
+            z = np.zeros(0, np.int32)
+            return z, z, z, z
+        ib = np.concatenate([e[0] for e in emits])
+        mm = np.concatenate([e[1] for e in emits])
+        nn = np.concatenate([e[2] for e in emits])
+        ss = np.concatenate([e[3] for e in emits])
+        return ib, mm, nn, ss
+
+    def bwt_seed_batch(self, qdb_j, qoff, qlen, rid, max_intv: int,
+                       min_seed: int, Rcap: int = 16):
         from genarchbench_tpu.sharding.mesh import pad_batch, shard_args
 
         B = len(qoff)
@@ -741,23 +984,24 @@ class FMISearch:
         pad = Bp - B
         padi = lambda a, f=0: np.concatenate(
             [a, np.full(pad, f, a.dtype)]).astype(np.int32)
-        qoff_j, qlen_j, mi_j = shard_args(
-            self.mesh, padi(qoff), padi(qlen),
-            padi(np.full(B, max_intv, np.int32), max_intv))
-        qdb_j = self._replicate(jnp.asarray(qdb.astype(np.int32)))
-        for emit_cap in (min(Lmax + 2, 16), Lmax + 2):
-            em, en, es, ec = _bwt_seed_device(
-                *self._tables(), qdb_j, qoff_j, qlen_j, mi_j,
-                min_seed=min_seed, emit_cap=emit_cap)
-            ec = np.asarray(ec)
-            if not (ec > emit_cap).any():
+        qoff_j, qlen_j = shard_args(self.mesh, padi(qoff), padi(qlen))
+        mi_j = jnp.asarray(np.int32(max_intv))
+        x = shard_args(self.mesh, np.zeros(Bp, np.int32))[0]
+        chunks = []
+        while True:
+            out, x = _bwt_seed_device(
+                *self._tables(), qdb_j, qoff_j, qlen_j, mi_j, x,
+                min_seed=min_seed, Rcap=Rcap)
+            chunks.append(np.asarray(out))
+            xh = np.asarray(x)
+            if not (xh[:B] < qlen).any():
                 break
-        em, en, es = (np.asarray(v) for v in (em, en, es))
-        rid_p = np.concatenate([rid, np.zeros(pad, rid.dtype)])
-        mask = ((np.arange(em.shape[1])[None, :] < ec[:, None])
-                & (np.arange(Bp) < B)[:, None])
-        bb, tt = np.nonzero(mask)
-        return rid_p[bb], em[bb, tt], en[bb, tt], es[bb, tt]
+            x = shard_args(self.mesh, xh.astype(np.int32))[0]
+        out = np.concatenate(chunks, axis=1)[:B]
+        bb, rr = np.nonzero(out != 0xFFFFFFFF)
+        packed = out[bb, rr]
+        return (rid[bb], (packed >> 16).astype(np.int32),
+                (packed & 0xFFFF).astype(np.int32))
 
 
 def search_reads(fmi: FMISearch, reads: List[np.ndarray],
@@ -767,56 +1011,75 @@ def search_reads(fmi: FMISearch, reads: List[np.ndarray],
     The reference's batch_size (512) is an OMP work-granularity knob
     that does not affect results (reads are independent; the final
     order is the global (rid, m, -n) stable sort because rids
-    partition across batches).  Device batching therefore uses its own
-    much larger granularity — per-batch fixed costs (h2d/d2h latency,
-    restart-loop round trips) made 512-read batches ~500x slower than
-    the arithmetic on the remote link.  Returns ONE group holding the
-    globally sorted (rid, m, n) arrays."""
+    partition across batches).  The TPU formulation decouples the
+    passes entirely: restart positions for ALL reads first (narrow
+    lockstep chains), then every (read, x0) backward search as one
+    flat sorted item sweep — lanes replace the reference's
+    OMP-dynamic-for over 512-read batches.  Returns ONE group holding
+    the globally sorted (rid, m, n) arrays."""
     n = len(reads)
     Lmax = 1 << max(max(len(r) for r in reads) - 1, 1).bit_length()
+    if Lmax > 0xFFFF:
+        raise ValueError("fmi: reads longer than 65535 bases are not "
+                         "supported by the packed item pipeline")
     split_len = int(min_seed * SPLIT_FACTOR + .499)
-    # cap the device batch by padded BASES, not read count, so
-    # long-read inputs don't blow up the (batch * Lmax) buffers;
-    # bigger batches amortize the lockstep loop's worst-lane step
-    # count across more reads (the loop runs max-over-batch steps)
-    dev_batch = max(batch_size, min(65536, (128 << 20) // Lmax))
-    results = []
-    for i in range(0, n, dev_batch):
-        batch = reads[i:i + dev_batch]
-        bc = len(batch)
-        qdb = np.full(bc * Lmax, 4, np.uint8)
-        qoff = np.arange(bc, dtype=np.int32) * Lmax
-        qlen = np.array([len(r) for r in batch], np.int32)
-        for b, r in enumerate(batch):
-            qdb[b * Lmax:b * Lmax + len(r)] = r
-        rid = np.arange(bc, dtype=np.int32)
+    qdb = np.full(n * Lmax, 4, np.uint8)
+    qlen = np.zeros(n, np.int32)
+    for b, r in enumerate(reads):
+        qdb[b * Lmax:b * Lmax + len(r)] = r
+        qlen[b] = len(r)
+    qoff = np.arange(n, dtype=np.int32) * Lmax
+    qdb_j = fmi._replicate(jnp.asarray(qdb.astype(np.int32)))
 
-        # pass 1: all-SMEM
-        s1 = fmi.smems_batch(qdb, qoff, qlen, rid,
-                             np.ones(bc, np.int32),
-                             np.zeros(bc, np.int32),
-                             min_seed, Lmax, all_pos=True)
-        # filter + reseed (fmi.cpp:301-324), vectorized
-        r1, m1, n1, sp1 = s1
-        keep = ((n1 + 1 - m1) >= split_len) & (sp1 <= SPLIT_WIDTH)
-        rr = r1[keep].astype(np.int32)
-        s2 = (np.zeros(0, np.int32),) * 4
-        if len(rr):
-            s2 = fmi.smems_batch(qdb, qoff[rr], qlen[rr], rr,
-                                 (sp1[keep] + 1).astype(np.int32),
-                                 ((n1 + 1 + m1)[keep] >> 1)
-                                 .astype(np.int32),
-                                 min_seed, Lmax, all_pos=False)
-        # pass 3: LAST
-        s3 = fmi.bwt_seed_batch(qdb, qoff, qlen, rid, MAX_MEM_INTV,
-                                min_seed + 1, Lmax)
+    # phase A: restart discovery, chunked only to bound lane count
+    # (lane-count fixed costs dominate the narrow bodies, so run the
+    # widest batch the emission buffers allow)
+    scan_b = min(1 << 18, max(1024, (256 << 20) // Lmax))
+    ridx_l, x0_l, nend_l = [], [], []
+    for i in range(0, n, scan_b):
+        ridx, x0, nend = fmi.restart_items(
+            qdb_j, qoff[i:i + scan_b], qlen[i:i + scan_b], 1)
+        ridx_l.append(ridx + i)
+        x0_l.append(x0)
+        nend_l.append(nend)
+    ridx = np.concatenate(ridx_l)
+    x0 = np.concatenate(x0_l)
+    nend = np.concatenate(nend_l)
 
-        results.append((np.concatenate([s1[0], s2[0], s3[0]]) + i,
-                        np.concatenate([s1[1], s2[1], s3[1]]),
-                        np.concatenate([s1[2], s2[2], s3[2]])))
-    r_all = np.concatenate([r for r, _, _ in results])
-    m_all = np.concatenate([m for _, m, _ in results])
-    n_all = np.concatenate([nn for _, _, nn in results])
+    # phase B / pass 1: one backward search per restart item
+    ib, m1, n1, sp1 = fmi.onepos_items(
+        qdb_j, qoff[ridx], qlen[ridx], x0,
+        np.ones(len(ridx), np.int32), nend - x0 + 1, min_seed)
+    r1 = ridx[ib]
+
+    # pass 2: filter + reseed (fmi.cpp:301-324) — same item machinery,
+    # one item per kept SMEM, fwd length unknown (bounded by the read)
+    keep = ((n1 + 1 - m1) >= split_len) & (sp1 <= SPLIT_WIDTH)
+    rr = r1[keep].astype(np.int32)
+    if len(rr):
+        rx0 = ((n1 + 1 + m1)[keep] >> 1).astype(np.int32)
+        ib2, m2, n2, _ = fmi.onepos_items(
+            qdb_j, qoff[rr], qlen[rr], rx0,
+            (sp1[keep] + 1).astype(np.int32),
+            qlen[rr] - rx0, min_seed)
+        r2 = rr[ib2]
+    else:
+        r2 = m2 = n2 = np.zeros(0, np.int32)
+
+    # pass 3: LAST (bwtSeedStrategy), per-read lockstep
+    s3r, s3m, s3n = [], [], []
+    for i in range(0, n, scan_b):
+        rid = np.arange(i, min(i + scan_b, n), dtype=np.int32)
+        rb, mb, nb = fmi.bwt_seed_batch(
+            qdb_j, qoff[i:i + scan_b], qlen[i:i + scan_b], rid,
+            MAX_MEM_INTV, min_seed + 1)
+        s3r.append(rb)
+        s3m.append(mb)
+        s3n.append(nb)
+
+    r_all = np.concatenate([r1, r2] + s3r)
+    m_all = np.concatenate([m1, m2] + s3m)
+    n_all = np.concatenate([n1, n2] + s3n)
     order = np.lexsort((-n_all, m_all, r_all))       # stable
     return [(r_all[order], m_all[order], n_all[order])]
 
