@@ -26,10 +26,13 @@ TPU-first design:
   * index build is a host-side artifact step (SURVEY §5.4): suffix
     array by prefix-doubling (np.lexsort), serialized as .npz.
 
-Current limit: int32 row indices (references up to ~1 Gbp); the
-multi-chip path for larger references shards reads data-parallel with
-the tables replicated (they are small: 16 bytes + 32 one-hot bytes per
-64 bases).
+Row-index width follows the reference size: int32 for references under
+2^31 BWT rows, int64 beyond (the on-disk format carries up to 2^39-1
+rows, bwa-mem2 macro.h:64-68 — GRCh38 fwd+rc is ~6.2e9).  Multi-chip,
+reads shard data-parallel; the occ tables either replicate (48 B per
+64 bases) or row-shard across the mesh with a masked-gather + psum
+GET_OCC (`FMISearch(shard_tables=True)`), letting indexes larger than
+one chip's HBM spread across the slice.
 """
 
 from __future__ import annotations
@@ -132,14 +135,15 @@ class FMIndex:
         fsize = os.path.getsize(path)
         with open(path, "rb") as f:
             seq_len = int(np.fromfile(f, "<i8", 1)[0])
-            if not 0 < seq_len <= 0x7FFFFFFF:
-                # the in-memory tables hold rows as int32; the format
-                # itself allows up to 2^39-1 (bwa-mem2 macro.h) but
-                # loading such an index would silently wrap the casts
-                raise ValueError(
-                    f"reference too large for int32 occ rows: {seq_len} "
-                    "(only references under 2^31 rows are loadable)")
-            count = (np.fromfile(f, "<i8", 5) + 1).astype(np.int32)
+            if not 0 < seq_len < (1 << 39):
+                raise ValueError(f"implausible index seq_len {seq_len} "
+                                 "(format carries up to 2^39-1 rows, "
+                                 "bwa-mem2 macro.h:64-68)")
+            # human-scale references exceed 2^31 rows (GRCh38 fwd+rc is
+            # ~6.2e9): row-valued tables stay int64 and the search
+            # engine runs its wide path (FMISearch.wide)
+            cdt = np.int32 if seq_len <= 0x7FFFFFFD else np.int64
+            count = (np.fromfile(f, "<i8", 5) + 1).astype(cdt)
             ncp = (seq_len >> CP_SHIFT) + 1
             rec = np.dtype([("cnt", "<i8", (4,)), ("oh", "<u8", (4,))])
             cp = np.fromfile(f, rec, ncp)
@@ -164,7 +168,7 @@ class FMIndex:
             else:
                 raise ValueError(f"unrecognized index size {fsize}")
         oh = cp["oh"]
-        return cls(count, cp["cnt"].astype(np.int32),
+        return cls(count, cp["cnt"].astype(cdt),
                    (oh >> np.uint64(32)).astype(np.uint32),
                    (oh & np.uint64(0xFFFFFFFF)).astype(np.uint32),
                    sentinel, seq_len)
@@ -207,20 +211,29 @@ def build_index_artifacts(
     pad = ncp * 64
     bwt_p = np.full(pad, 5, np.uint8)
     bwt_p[:blen] = bwt
-    onehot = (bwt_p.reshape(ncp, 64)[:, :, None]
-              == np.arange(4, dtype=np.uint8))     # (ncp, 64, 4)
-    # cumulative counts at block starts
-    per_block = onehot.sum(axis=1)                 # (ncp, 4)
+    cdt = np.int32 if blen <= 0x7FFFFFFD else np.int64
     cp_count = np.zeros((ncp, 4), np.int64)
-    cp_count[1:] = np.cumsum(per_block, axis=0)[:-1]
-    # one-hot words, MSB-first within the 64-base block
+    oh_hi = np.zeros((ncp, 4), np.uint32)
+    oh_lo = np.zeros((ncp, 4), np.uint32)
     bits = (np.uint64(1) << np.uint64(63 - np.arange(64)))
-    words = np.where(onehot, bits[None, :, None], np.uint64(0))
-    words = np.bitwise_or.reduce(words, axis=1)    # (ncp, 4) uint64
-    oh_hi = (words >> np.uint64(32)).astype(np.uint32)
-    oh_lo = (words & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    run = np.zeros(4, np.int64)
+    # chunked over checkpoint blocks: the dense (ncp, 64, 4) one-hot
+    # intermediates would need ~32 bytes/base — ~70 GB at human scale
+    CH = 1 << 22
+    for lo in range(0, ncp, CH):
+        hi = min(lo + CH, ncp)
+        onehot = (bwt_p[lo * 64:hi * 64].reshape(hi - lo, 64)[:, :, None]
+                  == np.arange(4, dtype=np.uint8))   # (ch, 64, 4)
+        per_block = onehot.sum(axis=1, dtype=np.int64)
+        cp_count[lo:hi] = run + (np.cumsum(per_block, axis=0)
+                                 - per_block)
+        run = run + per_block.sum(axis=0)
+        words = np.bitwise_or.reduce(
+            np.where(onehot, bits[None, :, None], np.uint64(0)), axis=1)
+        oh_hi[lo:hi] = (words >> np.uint64(32)).astype(np.uint32)
+        oh_lo[lo:hi] = (words & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
-    return (FMIndex(count.astype(np.int32), cp_count.astype(np.int32),
+    return (FMIndex(count.astype(cdt), cp_count.astype(cdt),
                     oh_hi, oh_lo, sentinel, blen), sa_full)
 
 
@@ -264,27 +277,62 @@ def build_index_from_fasta(path: str) -> FMIndex:
 # device search engine
 # ---------------------------------------------------------------------------
 
-def _occ4(occtab, pp):
+def _occ4(occtab, pp, axis=None):
     """occ(pp, b) for ALL four chars at once (GET_OCC).  occtab is the
-    packed (ncp, 12) uint32 checkpoint table [cnt0..3 | hi0..3 |
-    lo0..3]: ONE contiguous row-gather per position instead of 12
-    scattered 4-byte gathers — the backward pass runs this over
-    (B, Pmax) positions per step, and scattered-gather HBM traffic was
-    the round-3/4 pass-1 wall."""
+    packed uint32 checkpoint table, ONE contiguous row-gather per
+    position instead of 12 scattered 4-byte gathers — the backward
+    pass runs this over (B, Pmax) positions per step, and
+    scattered-gather HBM traffic was the round-3/4 pass-1 wall.
+
+    Row layouts: width 12 = [cnt0..3 (i32) | hi0..3 | lo0..3]; width
+    16 = [cntlo0..3 | cnthi0..3 | hi0..3 | lo0..3] for human-scale
+    references whose row counts exceed 2^31 (the on-disk format
+    carries up to 2^39-1 rows, bwa-mem2 macro.h:64-68) — pp and the
+    returned counts are then int64.
+
+    With `axis` set, this runs in the LOCAL view of a shard_map whose
+    mesh axis `axis` row-shards occtab: each device gathers the rows
+    it owns (others masked 0) and a psum assembles the full answer —
+    the SURVEY §5.8 sharded-occ-table collective, which lets an index
+    larger than one chip's HBM spread across the slice."""
     u32 = jnp.uint32
+    wide = occtab.shape[-1] == 16
     cid = pp >> CP_SHIFT
     y = (pp & CP_MASK).astype(jnp.int32)
-    row = jnp.take(occtab, cid, axis=0)          # (..., 12)
-    cnt = row[..., 0:4].astype(jnp.int32)
-    hi = row[..., 4:8]
-    lo = row[..., 8:12]
+    if axis is None:
+        row = jnp.take(occtab, cid, axis=0)      # (..., 12|16)
+    else:
+        # lanes are sharded and the table is row-sharded: all_gather
+        # every device's positions, answer the ones whose rows live
+        # here (others contribute 0), then reduce_scatter hands each
+        # device the assembled rows for ITS lanes — the classic
+        # sharded-table lookup collective pair
+        C = occtab.shape[0]
+        off = (lax.axis_index(axis).astype(cid.dtype)
+               * jnp.asarray(C, cid.dtype))
+        cid_all = lax.all_gather(cid, axis)      # (ndev, ...)
+        loc = cid_all - off
+        ok = (loc >= 0) & (loc < C)
+        row = jnp.take(occtab, jnp.clip(loc, 0, C - 1), axis=0)
+        row = jnp.where(ok[..., None], row, 0)
+        row = lax.psum_scatter(row, axis, scatter_dimension=0,
+                               tiled=False)
+    if wide:
+        cnt = (row[..., 0:4].astype(jnp.int64)
+               | (row[..., 4:8].astype(jnp.int64) << 32))
+        hi = row[..., 8:12]
+        lo = row[..., 12:16]
+    else:
+        cnt = row[..., 0:4].astype(jnp.int32)
+        hi = row[..., 4:8]
+        lo = row[..., 8:12]
     t_hi = jnp.clip(y, 0, 32)[..., None]
     t_lo = jnp.clip(y - 32, 0, 32)[..., None]
     ones = jnp.uint32(0xFFFFFFFF)
     m_hi = jnp.where(t_hi > 0, ones << (32 - t_hi).astype(u32), u32(0))
     m_lo = jnp.where(t_lo > 0, ones << (32 - t_lo).astype(u32), u32(0))
     pc = (lax.population_count(hi & m_hi)
-          + lax.population_count(lo & m_lo)).astype(jnp.int32)
+          + lax.population_count(lo & m_lo)).astype(cnt.dtype)
     return cnt + pc                               # (..., 4)
 
 
@@ -294,9 +342,11 @@ def _backward_ext(idx, k, l, s, a):
     start k and end k+s) ride ONE stacked gather — gather cost on this
     TPU is per-op fixed cost + per-row, so halving the op count nearly
     halves the extension cost for narrow (B,) state."""
-    count5, occtab, sentinel = idx
+    count5, occtab, sentinel = idx[:3]
+    axis = idx[3] if len(idx) > 3 else None
     a = jnp.clip(a, 0, 3)
-    both = _occ4(occtab, jnp.stack([k, k + s], axis=-1))  # (..., 2, 4)
+    both = _occ4(occtab, jnp.stack([k, k + s], axis=-1),
+                 axis)                                    # (..., 2, 4)
     osp = both[..., 0, :]                         # (..., 4)
     oep = both[..., 1, :]
     kk4 = count5[:4] + osp
@@ -321,9 +371,10 @@ def _backward_ext_ks(idx, k, s, a):
     (k, s): the reverse-complement interval l is needed solely to seed
     FORWARD extensions (FMI_search.cpp:1268-1298), so its update chain
     is omitted from the hot loop."""
-    count5, occtab, _ = idx
+    count5, occtab = idx[0], idx[1]
+    axis = idx[3] if len(idx) > 3 else None
     a = jnp.clip(a, 0, 3)
-    both = _occ4(occtab, jnp.stack([k, k + s], axis=-1))
+    both = _occ4(occtab, jnp.stack([k, k + s], axis=-1), axis)
     osp = both[..., 0, :]
     oep = both[..., 1, :]
     kk4 = count5[:4] + osp
@@ -340,6 +391,16 @@ def _qchar(qdb, off, j, valid):
     idx = jnp.clip(off + j, 0, qdb.shape[0] - 1)
     c = jnp.take(qdb, idx)
     return jnp.where(valid, c, 4)
+
+
+def _gany(x, axis):
+    """Global any() for lockstep while conditions: under sharded
+    tables (shard_map), every device must run the SAME trip count —
+    the body psums rendezvous each iteration — so the condition itself
+    reduces over the mesh axis."""
+    if axis is None:
+        return jnp.any(x)
+    return lax.psum(jnp.any(x).astype(jnp.int32), axis) > 0
 
 
 def _last_eligible_scan(elig, val):
@@ -382,8 +443,9 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
     # ---- forward extension ----
     pm = jnp.zeros((B, Pmax), i32)
     pn = jnp.zeros((B, Pmax), i32)
-    pk = jnp.zeros((B, Pmax), i32)
-    ps = jnp.zeros((B, Pmax), i32)
+    rowdt = idx[0].dtype                 # int64 for >2^31-row tables
+    pk = jnp.zeros((B, Pmax), rowdt)
+    ps = jnp.zeros((B, Pmax), rowdt)
     npv = jnp.zeros((B,), i32)
 
     def push(bufs, npv, vals, mask):
@@ -419,8 +481,10 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
         on = on & grow
         return (m, n, k, l, s, pm, pn, pk, ps, npv, nx, on, j + 1)
 
+    axis = idx[3] if len(idx) > 3 else None
+
     def fwd_cond(carry):
-        return jnp.any(carry[11])
+        return _gany(carry[11], axis)
 
     def fwd_block(carry):
         for _ in range(FMI_UNROLL):
@@ -491,7 +555,9 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
             isA = has0 & jnp.any(condA & selp0, axis=1)
             gat = lambda b: jnp.max(jnp.where(selp0, b, 0), axis=1)
             (em, en, es), ec = emit((em, en, es), ec,
-                                    (gat(pm), gat(pn), gat(ps)),
+                                    (gat(pm), gat(pn),
+                                     jnp.clip(gat(ps), 0, 255)
+                                     .astype(i32)),
                                     good & isA)
             # pushes: eligible p >= p0 (> p0 when condA), s-dedup
             pge = slotsP >= p0[:, None] + isA.astype(i32)[:, None]
@@ -553,7 +619,7 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
         step1 = bwd_step(cur)
 
         def s1_cond(c):
-            return jnp.any(c[5] & (c[4] > 4))
+            return _gany(c[5] & (c[4] > 4), axis)
 
         def s1_block(c):
             for _ in range(FMI_UNROLL):
@@ -568,7 +634,7 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
     stepN = bwd_step(cur)
 
     def bwd_cond(c):
-        return jnp.any(c[5])
+        return _gany(c[5], axis)
 
     def bwd_block(c):
         for _ in range(FMI_UNROLL):
@@ -582,14 +648,16 @@ def _onepos_core(idx, qdb, qoff, qlen, x0, min_intv, active0,
     fmask = lane_on & (npv > 0) & ((pnF[:, 0] - pmF[:, 0] + 1)
                                    >= min_seed)
     (em, en, es), ec = emit((em, en, es), ec,
-                            (pmF[:, 0], pnF[:, 0], psF[:, 0]), fmask)
+                            (pmF[:, 0], pnF[:, 0],
+                             jnp.clip(psF[:, 0], 0, 255).astype(i32)),
+                            fmask)
 
     return em, en, es, ec, next_x, ovf
 
 
-@partial(jax.jit, static_argnames=("Rcap",))
+@partial(jax.jit, static_argnames=("Rcap", "table_axis"))
 def _restart_scan_device(count5, occtab, sentinel, qdb, qoff, qlen,
-                         x_init, min_intv, Rcap):
+                         x_init, min_intv, Rcap, table_axis=None):
     """Pass-1 restart discovery: walks getSMEMsAllPosOneThread's
     restart chain (x = next_x until x >= qlen, FMI_search.cpp:915-968)
     with (B,)-NARROW state only — no prev lists, no emission buffers.
@@ -602,7 +670,7 @@ def _restart_scan_device(count5, occtab, sentinel, qdb, qoff, qlen,
     which made pass 1 ~25x more expensive than the useful work."""
     B = qoff.shape[0]
     i32 = jnp.int32
-    idx = (count5, occtab, sentinel)
+    idx = (count5, occtab, sentinel, table_axis)
     INVALID = jnp.uint32(0xFFFFFFFF)
     slots = lax.broadcasted_iota(i32, (B, Rcap), 1)
 
@@ -663,7 +731,7 @@ def _restart_scan_device(count5, occtab, sentinel, qdb, qoff, qlen,
 
     def cond(c):
         x0, _, _, _, _, _, _, cnt, _ = c
-        return jnp.any((x0 < qlen) & (cnt < Rcap))
+        return _gany((x0 < qlen) & (cnt < Rcap), table_axis)
 
     def block(c):
         for _ in range(FMI_UNROLL):
@@ -671,16 +739,19 @@ def _restart_scan_device(count5, occtab, sentinel, qdb, qoff, qlen,
         return c
 
     z = jnp.zeros((B,), i32)
+    zr = jnp.zeros((B,), count5.dtype)
     out0 = jnp.full((B, Rcap), INVALID)
     c = lax.while_loop(
         cond, block,
-        (x_init, z, z, z, z, z, jnp.zeros((B,), bool), z, out0))
+        (x_init, z, z, zr, zr, zr, jnp.zeros((B,), bool), z, out0))
     return c[8], c[0]
 
 
-@partial(jax.jit, static_argnames=("Pmax", "min_seed", "out_w"))
+@partial(jax.jit, static_argnames=("Pmax", "min_seed", "out_w",
+                                   "table_axis", "packed"))
 def _onepos_items_device(count5, occtab, sentinel, qdb, meta,
-                         Pmax, min_seed, out_w):
+                         Pmax, min_seed, out_w, table_axis=None,
+                         packed=True):
     """One getSMEMsOnePosOneThread per LANE, lanes = flattened
     (read, restart-position) work items.  meta = (B, 4) int32 rows
     [qoff, qlen, x0, min_intv] (x0 < 0 = padding lane).  Emission caps
@@ -699,11 +770,13 @@ def _onepos_items_device(count5, occtab, sentinel, qdb, meta,
     active0 = x0 >= 0
     z = lambda: jnp.zeros((B, out_w), i32)
     em, en, es, ec, _, ovf = _onepos_core(
-        (count5, occtab, sentinel), qdb, qoff, qlen,
+        (count5, occtab, sentinel, table_axis), qdb, qoff, qlen,
         jnp.maximum(x0, 0), mi, active0,
         0, Pmax, min_seed, out_w, z(), z(), z(),
         jnp.zeros((B,), i32))
     ovf = ovf | (ec > out_w)
+    if not packed:
+        return em, en, es, ec, ovf
     u32 = jnp.uint32
     mn = ((em.astype(u32) << 16) | (en.astype(u32) & u32(0xFFFF)))
     s8 = jnp.clip(es, 0, 255).astype(u32).reshape(B, out_w // 4, 4)
@@ -717,10 +790,10 @@ def _onepos_items_device(count5, occtab, sentinel, qdb, meta,
         [mn.ravel(), s8p.ravel(), ecp, ovp])
 
 
-@partial(jax.jit, static_argnames=("min_seed", "Rcap"))
+@partial(jax.jit, static_argnames=("min_seed", "Rcap", "table_axis"))
 def _bwt_seed_device(count5, occtab, sentinel,
                      qdb, qoff, qlen, max_intv, x_init, min_seed,
-                     Rcap):
+                     Rcap, table_axis=None):
     """bwtSeedStrategyAllPosOneThread for a batch
     (FMI_search.cpp:975-1075): forward-only restart chain; each ROUND
     runs one segment per lane (extend until the interval drops under
@@ -731,12 +804,12 @@ def _bwt_seed_device(count5, occtab, sentinel,
     most of this pass's round-4 cost)."""
     B = qoff.shape[0]
     i32 = jnp.int32
-    idx = (count5, occtab, sentinel)
+    idx = (count5, occtab, sentinel, table_axis)
     INVALID = jnp.uint32(0xFFFFFFFF)
 
     def outer_cond(c):
         r, x, out = c
-        return (r < Rcap) & jnp.any(x < qlen)
+        return (r < Rcap) & _gany(x < qlen, table_axis)
 
     def outer_body(c):
         r, x, out = c
@@ -750,7 +823,7 @@ def _bwt_seed_device(count5, occtab, sentinel,
         hitn = jnp.full((B,), -1, i32)
 
         def inner_cond(cc):
-            return jnp.any(cc[5])
+            return _gany(cc[5], table_axis)
 
         def inner_body(cc):
             (k, l, s, nx, j, on, hitn) = cc
@@ -782,7 +855,8 @@ def _bwt_seed_device(count5, occtab, sentinel,
             (x.astype(jnp.uint32) << 16) | (hitn.astype(jnp.uint32)
                                             & jnp.uint32(0xFFFF)),
             INVALID)
-        out = lax.dynamic_update_slice(out, col[:, None], (0, r))
+        out = lax.dynamic_update_slice(
+            out, col[:, None], (jnp.asarray(0, r.dtype), r))
         nx = jnp.maximum(jnp.where(on0, nx, x), x + 1)
         return (r + 1, nx, out)
 
@@ -798,32 +872,112 @@ def _bwt_seed_device(count5, occtab, sentinel,
 # ---------------------------------------------------------------------------
 
 class FMISearch:
-    """Device-resident FM-index search.  With a mesh, the checkpointed
-    occ / one-hot BWT tables are explicitly REPLICATED across devices
-    (they are small by construction: CP_OCC is 4xint64 + 4xuint64 per 64
-    bases, FMI_search.h:55-59) and query batches shard data-parallel —
-    the reference's OMP-over-read-batches (fmi.cpp:250-263) mapped to
-    SPMD."""
+    """Device-resident FM-index search.  With a mesh, query batches
+    shard data-parallel — the reference's OMP-over-read-batches
+    (fmi.cpp:250-263) mapped to SPMD.  The checkpointed occ / one-hot
+    BWT tables are REPLICATED by default (CP_OCC is 48 bytes per 64
+    bases, FMI_search.h:55-59: ~4.7 GB for GRCh38 fwd+rc), or
+    row-SHARDED across the mesh with `shard_tables=True` — each device
+    then holds 1/N of the index and every GET_OCC assembles its answer
+    with a masked local gather + psum (SURVEY §5.8), so references
+    larger than one chip's HBM spread across the slice.
 
-    def __init__(self, index: FMIndex, mesh=None):
+    References with more than 2^31 BWT rows (human scale) switch the
+    row-valued state to int64 (`self.wide`); this requires JAX's x64
+    mode (the CLI enables it for its own process when the loaded index
+    needs it)."""
+
+    def __init__(self, index: FMIndex, mesh=None, shard_tables=False):
+        import os
         self.index = index
         self.mesh = mesh
-        self.count5 = jnp.asarray(index.count, jnp.int32)
-        # packed checkpoint rows [cnt0..3 | hi0..3 | lo0..3]: one
-        # contiguous gather per occ position (see _occ4)
-        occtab = np.concatenate([index.cp_count.astype(np.uint32),
-                                 index.oh_hi, index.oh_lo], axis=1)
-        self.occtab = jnp.asarray(occtab)
-        self.sentinel = jnp.asarray(index.sentinel, jnp.int32)
-        if mesh is not None:
+        # GENARCH_FMI_FORCE_WIDE exercises the int64 row path on small
+        # indexes (test hook — the real trigger is the row count)
+        self.wide = (index.seq_len > 0x7FFFFFFD
+                     or os.environ.get("GENARCH_FMI_FORCE_WIDE") == "1")
+        if self.wide and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "index has >2^31 rows; enable jax x64 first "
+                "(jax.config.update('jax_enable_x64', True)) — the fmi "
+                "CLI does this automatically")
+        cdt = np.int64 if self.wide else np.int32
+        self.count5 = jnp.asarray(index.count.astype(cdt))
+        # packed checkpoint rows, one contiguous gather per occ
+        # position (see _occ4): [cnt | hi | lo] u32, counts split
+        # lo/hi-word when wide
+        if self.wide:
+            c64 = index.cp_count.astype(np.int64)
+            occtab = np.concatenate(
+                [(c64 & 0xFFFFFFFF).astype(np.uint32),
+                 (c64 >> 32).astype(np.uint32),
+                 index.oh_hi, index.oh_lo], axis=1)
+        else:
+            occtab = np.concatenate(
+                [index.cp_count.astype(np.uint32),
+                 index.oh_hi, index.oh_lo], axis=1)
+        self.sentinel = jnp.asarray(index.sentinel, cdt)
+        self.table_axis = None
+        if mesh is not None and shard_tables:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            self.table_axis = mesh.axis_names[0]
+            nd = int(mesh.devices.size)
+            ncp = occtab.shape[0]
+            padded = ((ncp + nd - 1) // nd) * nd
+            if padded != ncp:
+                occtab = np.concatenate(
+                    [occtab, np.zeros((padded - ncp, occtab.shape[1]),
+                                      np.uint32)])
+            self.occtab = jax.device_put(
+                occtab, NamedSharding(mesh, P(self.table_axis, None)))
             rep = NamedSharding(mesh, P())
-            (self.count5, self.occtab, self.sentinel) = (
-                jax.device_put(t, rep) for t in (
-                    self.count5, self.occtab, self.sentinel))
+            self.count5 = jax.device_put(self.count5, rep)
+            self.sentinel = jax.device_put(self.sentinel, rep)
+        else:
+            self.occtab = jnp.asarray(occtab)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(mesh, P())
+                (self.count5, self.occtab, self.sentinel) = (
+                    jax.device_put(t, rep) for t in (
+                        self.count5, self.occtab, self.sentinel))
+        self._shard_fns = {}
 
     def _tables(self):
         return (self.count5, self.occtab, self.sentinel)
+
+    def _fn(self, base, statics):
+        """shard_map-wrapped variant of a device kernel for the
+        sharded-table mode: tables enter in LOCAL view (occtab rows
+        P(axis, None)), per-lane arrays shard on the batch axis, and
+        _occ4 assembles global rows via psum (see its docstring)."""
+        if self.table_axis is None:
+            raise RuntimeError("sharded variant without shard_tables")
+        key = (base.__name__,) + tuple(sorted(statics.items()))
+        if key in self._shard_fns:
+            return self._shard_fns[key]
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        ax = self.table_axis
+        spec_map = {
+            "_restart_scan_device": ((P(), P(ax, None), P(), P(),
+                                      P(ax), P(ax), P(ax), P()),
+                                     (P(ax, None), P(ax))),
+            "_onepos_items_device": ((P(), P(ax, None), P(), P(),
+                                      P(ax, None)),
+                                     (P(ax, None), P(ax, None),
+                                      P(ax, None), P(ax), P(ax))),
+            "_bwt_seed_device": ((P(), P(ax, None), P(), P(),
+                                  P(ax), P(ax), P(), P(ax)),
+                                 (P(ax, None), P(ax))),
+        }
+        in_specs, out_specs = spec_map[base.__name__]
+        raw = base.__wrapped__     # the un-jitted implementation
+        fn = jax.jit(shard_map(
+            partial(raw, table_axis=ax, **statics),
+            mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False))
+        self._shard_fns[key] = fn
+        return fn
 
     def _replicate(self, qdb_j):
         if self.mesh is None:
@@ -847,11 +1001,17 @@ class FMISearch:
         qoff_j, qlen_j = shard_args(self.mesh, padi(qoff), padi(qlen))
         mi_j = jnp.asarray(np.int32(min_intv))
         x = shard_args(self.mesh, np.zeros(Bp, np.int32))[0]
-        chunks = []
-        while True:
-            out, x = _restart_scan_device(
+        if self.table_axis is not None:
+            fn = self._fn(_restart_scan_device, {"Rcap": Rcap})
+            call = lambda x: fn(*self._tables(), qdb_j, qoff_j,
+                                qlen_j, x, mi_j)
+        else:
+            call = lambda x: _restart_scan_device(
                 *self._tables(), qdb_j, qoff_j, qlen_j, x, mi_j,
                 Rcap=Rcap)
+        chunks = []
+        while True:
+            out, x = call(x)
             chunks.append(np.asarray(out))
             xh = np.asarray(x)
             if not (xh[:B] < qlen).any():
@@ -918,29 +1078,41 @@ class FMISearch:
                 meta[:B, 2] = item_x0[sub]
                 meta[:B, 3] = item_mi[sub]
                 meta_j = shard_args(self.mesh, meta)[0]
-                blob_d = _onepos_items_device(
-                    *self._tables(), qdb_j, meta_j,
-                    Pmax=Pmax, min_seed=min_seed, out_w=out_w)
-                try:
-                    blob_d.copy_to_host_async()
-                except AttributeError:
-                    pass
-                launched.append((sub, B, Bp, blob_d))
-            for sub, B, Bp, blob_d in launched:
-                blob = np.asarray(blob_d)
-                mn = blob[:Bp * out_w].reshape(Bp, out_w)
-                s8 = blob[Bp * out_w:Bp * out_w + Bp * out_w // 4]
-                s8 = (s8.reshape(Bp, out_w // 4)[:, :, None]
-                      >> (np.arange(4, dtype=np.uint32) * 8)
-                      ) & 0xFF
-                s8 = s8.reshape(Bp, out_w)
-                ec = ((blob[Bp * out_w * 5 // 4:Bp * out_w * 5 // 4
-                            + Bp // 4].reshape(-1, 1)
-                       >> (np.arange(4, dtype=np.uint32) * 8)) & 0xFF
-                      ).reshape(Bp)
-                ovf = ((blob[-(Bp // 32):].reshape(-1, 1)
-                        >> np.arange(32, dtype=np.uint32)) & 1
-                       ).reshape(Bp).astype(bool)
+                if self.table_axis is not None:
+                    fn = self._fn(_onepos_items_device,
+                                  {"Pmax": Pmax, "min_seed": min_seed,
+                                   "out_w": out_w, "packed": False})
+                    res = fn(*self._tables(), qdb_j, meta_j)
+                else:
+                    res = _onepos_items_device(
+                        *self._tables(), qdb_j, meta_j,
+                        Pmax=Pmax, min_seed=min_seed, out_w=out_w)
+                    try:
+                        res.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                launched.append((sub, B, Bp, res))
+            for sub, B, Bp, res in launched:
+                if self.table_axis is not None:
+                    em, en, s8, ec, ovf = (np.asarray(v) for v in res)
+                    m_a, n_a = em, en
+                else:
+                    blob = np.asarray(res)
+                    mn = blob[:Bp * out_w].reshape(Bp, out_w)
+                    m_a = (mn >> 16).astype(np.int32)
+                    n_a = (mn & 0xFFFF).astype(np.int32)
+                    s8 = blob[Bp * out_w:Bp * out_w + Bp * out_w // 4]
+                    s8 = (s8.reshape(Bp, out_w // 4)[:, :, None]
+                          >> (np.arange(4, dtype=np.uint32) * 8)
+                          ) & 0xFF
+                    s8 = s8.reshape(Bp, out_w)
+                    ec = ((blob[Bp * out_w * 5 // 4:Bp * out_w * 5 // 4
+                                + Bp // 4].reshape(-1, 1)
+                           >> (np.arange(4, dtype=np.uint32) * 8))
+                          & 0xFF).reshape(Bp)
+                    ovf = ((blob[-(Bp // 32):].reshape(-1, 1)
+                            >> np.arange(32, dtype=np.uint32)) & 1
+                           ).reshape(Bp).astype(bool)
                 ok = ~ovf[:B]
                 ksub = sub[ok]
                 todo[ksub] = False
@@ -949,10 +1121,8 @@ class FMISearch:
                     np.arange(out_w)[None, :] < kec[:, None])
                 if len(bb):
                     emits.append((ksub[bb],
-                                  (mn[:B][ok][bb, tt] >> 16)
-                                  .astype(np.int32),
-                                  (mn[:B][ok][bb, tt] & 0xFFFF)
-                                  .astype(np.int32),
+                                  m_a[:B][ok][bb, tt].astype(np.int32),
+                                  n_a[:B][ok][bb, tt].astype(np.int32),
                                   s8[:B][ok][bb, tt].astype(np.int32)))
                 fails.append(sub[~ok])
             fails = (np.concatenate(fails) if fails
@@ -987,11 +1157,18 @@ class FMISearch:
         qoff_j, qlen_j = shard_args(self.mesh, padi(qoff), padi(qlen))
         mi_j = jnp.asarray(np.int32(max_intv))
         x = shard_args(self.mesh, np.zeros(Bp, np.int32))[0]
-        chunks = []
-        while True:
-            out, x = _bwt_seed_device(
+        if self.table_axis is not None:
+            fn = self._fn(_bwt_seed_device,
+                          {"min_seed": min_seed, "Rcap": Rcap})
+            call = lambda x: fn(*self._tables(), qdb_j, qoff_j,
+                                qlen_j, mi_j, x)
+        else:
+            call = lambda x: _bwt_seed_device(
                 *self._tables(), qdb_j, qoff_j, qlen_j, mi_j, x,
                 min_seed=min_seed, Rcap=Rcap)
+        chunks = []
+        while True:
+            out, x = call(x)
             chunks.append(np.asarray(out))
             xh = np.asarray(x)
             if not (xh[:B] < qlen).any():
@@ -1135,8 +1312,16 @@ def run(argv: Sequence[str]) -> int:
         index = FMIndex.load(ref_file)
     else:
         index = build_index_from_fasta(ref_file)
+    if (index.seq_len > 0x7FFFFFFD
+            or os.environ.get("GENARCH_FMI_FORCE_WIDE") == "1"):
+        # human-scale index: row state must be int64 (process-global
+        # flag, safe here — this process only runs the fmi kernel)
+        jax.config.update("jax_enable_x64", True)
     from genarchbench_tpu.sharding.mesh import data_mesh
-    fmi = FMISearch(index, mesh=data_mesh())
+    fmi = FMISearch(
+        index, mesh=data_mesh(),
+        shard_tables=os.environ.get("GENARCH_FMI_SHARD_TABLES",
+                                    "0") == "1")
 
     lens = [len(r) for r in reads]
     print(f"numReads = {len(reads)}, max_readlength = {max(lens)}, "

@@ -37,6 +37,7 @@ TPU-first design:
 from __future__ import annotations
 
 import sys
+from collections import defaultdict
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
@@ -809,9 +810,26 @@ class ConvexNWEngine:
         G = len(seqs)
         results: List = [None] * G
         nranks = [g.num_ranks() for g in graphs]
-        live = [w for w in range(G) if nranks[w] and seqs[w]]
-        if not live:
+        all_live = [w for w in range(G) if nranks[w] and seqs[w]]
+        if not all_live:
             return results
+        # bucket windows by predecessor width: Pmax is a whole-round
+        # max, and ONE window holding a node with 8 in-edges made every
+        # round 6x more expensive than the P<=4 rounds (the per-row
+        # (G, P, W1) predecessor reads scale superlinearly in P); the
+        # rare wide-P windows run in their own small dispatch
+        by_p = defaultdict(list)
+        for w in all_live:
+            by_p[_round_up_pow2(max(graphs[w].max_in_edges(), 1), 1)
+                 ].append(w)
+        for live in by_p.values():
+            self._align_group(seqs, graphs, live, results)
+        return results
+
+    def _align_group(self, seqs, graphs, live, results):
+        m_, n_, g_, e_, q_, c_ = (self.m, self.n, self.g, self.e,
+                                  self.q, self.c)
+        nranks = [g.num_ranks() for g in graphs]
 
         Rmax = max(nranks[w] for w in live)
         Wmax = max(len(seqs[w]) for w in live)

@@ -752,10 +752,18 @@ def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
             else:                       # tails would overflow int16
                 (nmats, opsr, gap_t, gap_v, fm, fd, fi) = \
                     [np.asarray(r) for r in res[1:]]
-            for b, i in enumerate(chunk):
-                out[i] = _assemble_cigar(
-                    nmats[b], opsr[b], gap_t[b], gap_v[b],
-                    fm[b], fd[b], fi[b], nsteps)
+            from genarchbench_tpu import native
+            cigs = native.wfa_cigars_native(
+                nmats[:m], opsr[:m], gap_t[:m], gap_v[:m],
+                fm[:m], fd[:m], fi[:m], nsteps)
+            if cigs is not None:
+                for b, i in enumerate(chunk):
+                    out[i] = cigs[b]
+            else:
+                for b, i in enumerate(chunk):
+                    out[i] = _assemble_cigar(
+                        nmats[b], opsr[b], gap_t[b], gap_v[b],
+                        fm[b], fd[b], fi[b], nsteps)
     return out
 
 

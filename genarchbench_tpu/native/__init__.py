@@ -143,6 +143,7 @@ def readers_lib() -> Optional[ctypes.CDLL]:
                                 ctypes.c_float, i64, i64,
                                 ctypes.c_float, p64]
     lib.chain_window_starts.restype = None
+    lib.wfa_cigars.restype = None
     lib.chain_window_starts.argtypes = [i64, p64, pu64, p64, i64, p32]
     vp = ctypes.c_void_p
     p16 = ctypes.POINTER(ctypes.c_int16)
@@ -568,3 +569,34 @@ def peak_detect_native(t1, t2, thr1, thr2, wl1, wl2, peak_height):
                          thr1, thr2, wl1, wl2, peak_height,
                          _as_ptr(out, ctypes.c_int64))
     return out, int(pc)
+
+
+def wfa_cigars_native(nmats, ops, gap_t, gap_v, fm, fd, fi, nsteps):
+    """RLE-CIGAR strings from the wfa backtrace's emission-order
+    records (kernels/wfa.py::_assemble_cigar semantics); None when the
+    native library is unavailable.  The per-lane Python assembly was
+    ~70% of the warm wfa wall time on the bench input."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return None
+    B, T = nmats.shape
+    nmats = np.ascontiguousarray(nmats, np.int16)
+    ops = np.ascontiguousarray(ops, np.int8)
+    gap_t = np.ascontiguousarray(gap_t, np.int32)
+    gap_v = np.ascontiguousarray(gap_v, np.int32)
+    fm = np.ascontiguousarray(fm, np.int32)
+    fd = np.ascontiguousarray(fd, np.int32)
+    fi = np.ascontiguousarray(fi, np.int32)
+    stride = 12 * max(int(nsteps), 1) + 96
+    out = np.zeros((B, stride), np.uint8)
+    outlen = np.zeros(B, np.int32)
+    lib.wfa_cigars(
+        ctypes.c_int64(B), ctypes.c_int64(T), ctypes.c_int64(nsteps),
+        _as_ptr(nmats, ctypes.c_int16), _as_ptr(ops, ctypes.c_int8),
+        _as_ptr(gap_t, ctypes.c_int32), _as_ptr(gap_v, ctypes.c_int32),
+        _as_ptr(fm, ctypes.c_int32), _as_ptr(fd, ctypes.c_int32),
+        _as_ptr(fi, ctypes.c_int32),
+        out.ctypes.data_as(ctypes.c_char_p), ctypes.c_int64(stride),
+        _as_ptr(outlen, ctypes.c_int32))
+    return [out[b, :outlen[b]].tobytes().decode() for b in range(B)]

@@ -14,6 +14,7 @@
  */
 
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 #include <zlib.h>
@@ -788,4 +789,51 @@ int64_t peak_detect(const float *t1, const float *t2, int64_t n,
         }
     }
     return pc;
+}
+
+/* WFA RLE-CIGAR assembly from the device backtrace's emission-order
+ * records (kernels/wfa.py::_assemble_cigar semantics: the reference
+ * writes ops backwards into its buffer, affine_wavefront_backtrace.c
+ * :259,310-370, then edit_cigar.c:184-200 RLE-encodes; here the
+ * forward-order run list is emitted reversed with adjacent-run
+ * merging).  op codes: 1=D 2=I 3=X; per-lane output at
+ * out + b*stride, length in outlen[b]. */
+void wfa_cigars(int64_t B, int64_t T, int64_t nsteps,
+                const int16_t *nmats, const int8_t *ops,
+                const int32_t *gap_t, const int32_t *gap_v,
+                const int32_t *fm, const int32_t *fd, const int32_t *fi,
+                char *out, int64_t stride, int32_t *outlen) {
+    static const char OPC[4] = {'?', 'D', 'I', 'X'};
+    int64_t cap = 2 * nsteps + 8;
+    int64_t *rc = (int64_t *)malloc((size_t)cap * sizeof(int64_t));
+    char *rch = (char *)malloc((size_t)cap);
+    if (!rc || !rch) { free(rc); free(rch); return; }
+    for (int64_t b = 0; b < B; b++) {
+        int64_t nr = 0;
+        for (int64_t t = 0; t < nsteps; t++) {
+            if (t == gap_t[b]) {
+                int32_t g = gap_v[b];
+                if (g > 0) { rc[nr] = g; rch[nr++] = 'D'; }
+                else if (g < 0) { rc[nr] = -g; rch[nr++] = 'I'; }
+            }
+            int16_t nm = nmats[b * T + t];
+            if (nm > 0) { rc[nr] = nm; rch[nr++] = 'M'; }
+            int8_t op = ops[b * T + t];
+            if (op > 0 && op < 4) { rc[nr] = 1; rch[nr++] = OPC[(int)op]; }
+        }
+        if (fm[b] > 0) { rc[nr] = fm[b]; rch[nr++] = 'M'; }
+        if (fd[b] > 0) { rc[nr] = fd[b]; rch[nr++] = 'D'; }
+        if (fi[b] > 0) { rc[nr] = fi[b]; rch[nr++] = 'I'; }
+        char *w = out + b * stride;
+        char *w0 = w;
+        for (int64_t r = nr - 1; r >= 0;) {
+            char c = rch[r];
+            int64_t cnt = 0;
+            while (r >= 0 && rch[r] == c) { cnt += rc[r]; r--; }
+            w += sprintf(w, "%lld%c", (long long)cnt, c);
+        }
+        outlen[b] = (int32_t)(w - w0);
+    }
+    free(rc);
+    free(rch);
 }

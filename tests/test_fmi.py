@@ -149,3 +149,103 @@ def test_bwt2bit64_byte_identical(fmi_ref, tmp_path):
     assert np.array_equal(loaded.cp_count, ours.cp_count)
     assert np.array_equal(loaded.oh_hi, ours.oh_hi)
     assert np.array_equal(loaded.oh_lo, ours.oh_lo)
+
+
+def _subprocess_cli(fa, fq, env_extra, cpu=True):
+    """Run the fmi CLI in a fresh process (the wide path flips the
+    process-global jax x64 flag; the sharded path needs a virtual
+    device mesh set up before jax initializes)."""
+    import os
+    import sys
+    script = (
+        "import jax\n"
+        + ("jax.config.update('jax_platforms', 'cpu')\n" if cpu else "")
+        + "from genarchbench_tpu.kernels.fmi import run\n"
+        + f"run([{str(fa)!r}, {str(fq)!r}, '8', '19', '1'])\n")
+    env = dict(os.environ, PYTHONPATH=str(REPO), **env_extra)
+    r = subprocess.run([sys.executable, "-c", script], cwd=str(REPO),
+                       capture_output=True, text=True, timeout=900,
+                       env=env)
+    assert r.returncode == 0, (r.stderr or r.stdout)[-800:]
+    return smem_lines(r.stdout)
+
+
+def test_fmi_wide_rows(fmi_ref, tmp_path):
+    """int64-row (>2^31-capable) path parity: GENARCH_FMI_FORCE_WIDE
+    runs the exact human-scale code path (int64 interval state, split
+    lo/hi count words in the packed occ rows) on a small index."""
+    rng = np.random.default_rng(7)
+    fa, fq = gen_case(tmp_path, rng, n_reads=24, err=0.08)
+    ref = run_ref(fmi_ref, fa, fq, 8, 19, 24)
+    wide = _subprocess_cli(fa, fq, {"GENARCH_FMI_FORCE_WIDE": "1"})
+    assert wide == ref
+
+
+def test_fmi_sharded_tables(fmi_ref, tmp_path):
+    """Row-sharded occ tables across an 8-device virtual mesh
+    (SURVEY §5.8): every GET_OCC gathers locally and assembles the
+    answer with a psum inside shard_map; output must match the
+    replicated-table path exactly."""
+    rng = np.random.default_rng(8)
+    fa, fq = gen_case(tmp_path, rng, n_reads=32, err=0.08)
+    ref = run_ref(fmi_ref, fa, fq, 8, 19, 32)
+    sharded = _subprocess_cli(fa, fq, {
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "GENARCH_DEVICES": "8",
+        "GENARCH_FMI_SHARD_TABLES": "1",
+    })
+    assert sharded == ref
+
+
+def test_fmi_sharded_wide_big_index(fmi_ref, tmp_path):
+    """Human-genome-scale capability (VERDICT r4 missing #1): a >2^31
+    -row index builds, round-trips the bwa-mem2 on-disk format, loads,
+    and searches with row-SHARDED tables on the 8-device virtual mesh.
+    Gated: the 1.08 Gbp suffix-array build needs ~35 GB RAM and a few
+    minutes (export GENARCH_BIG_TEST=1)."""
+    import os
+    if os.environ.get("GENARCH_BIG_TEST") != "1":
+        pytest.skip("set GENARCH_BIG_TEST=1 (needs ~40 GB RAM, ~10 min)")
+    import sys
+    script = f"""
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+from genarchbench_tpu.kernels import fmi as F
+
+L = 1_073_741_900                  # 2L+1 = 2_147_483_801 > 2**31
+rng = np.random.default_rng(99)
+ref = rng.integers(0, 4, L).astype(np.uint8)
+index = F.build_index(ref)
+assert index.seq_len == 2 * L + 1 > 2**31
+assert index.cp_count.dtype == np.int64
+
+from genarchbench_tpu.sharding.mesh import data_mesh
+mesh = data_mesh(8)
+fmi = F.FMISearch(index, mesh=mesh, shard_tables=True)
+reads = []
+pos = rng.integers(0, L - 150, 40)
+for p in pos:
+    r = ref[p:p + 150].copy()
+    for _ in range(6):
+        r[rng.integers(0, 150)] = rng.integers(0, 4)
+    reads.append(r)
+res = F.search_reads(fmi, reads, 8, 19)
+rid, m, n = res[0]
+assert len(rid) > 40                    # every read seeds something
+# planted reads must each recover a long exact SMEM covering most of
+# the read between mutations
+spans = {{}}
+for r_, m_, n_ in zip(rid, m, n):
+    spans[r_] = max(spans.get(r_, 0), n_ - m_ + 1)
+assert all(spans.get(i, 0) >= 19 for i in range(40))
+print('BIGOK', len(rid))
+"""
+    env = dict(os.environ, PYTHONPATH=str(REPO),
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run([sys.executable, "-c", script], cwd=str(REPO),
+                       capture_output=True, text=True, timeout=3600,
+                       env=env)
+    assert r.returncode == 0, (r.stderr or r.stdout)[-1500:]
+    assert "BIGOK" in r.stdout
