@@ -17,6 +17,7 @@ prints.
 
 from __future__ import annotations
 
+import re
 import os
 import sys
 from typing import List, Optional
@@ -116,18 +117,53 @@ def cmd_regress(name: str, cmd_args: List[str], golden: Optional[str],
     nfailed = sum(not r.ok for r in results)
     njobs = len(results)
     outputs = {}
+    kernel_s, items_n = {}, {}
     for nd, r in zip(devices, results):
+        alltext = ""
         if r.stage_dir:
             src = read_source(r.stage_dir)
             if src is not None:
-                outputs[nd] = src
-        timing = next(
-            (ln for f in ("stderr.txt", "stdout.txt")
-             if r.stage_dir and (r.stage_dir / f).exists()
-             for ln in (r.stage_dir / f).read_text().splitlines()
-             if ln.startswith(spec.timing_line)), "")
+                # timing lines legitimately differ per device count;
+                # the determinism check below compares results only
+                outputs[nd] = [ln for ln in src
+                               if not ln.startswith(spec.timing_line)]
+            alltext = "\n".join(
+                (r.stage_dir / f).read_text()
+                for f in ("stderr.txt", "stdout.txt")
+                if (r.stage_dir / f).exists())
+        timing = next((ln for ln in alltext.splitlines()
+                       if ln.startswith(spec.timing_line)), "")
+        m = re.search(r"([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?\d+)?)",
+                      timing[len(spec.timing_line):]) if timing else None
+        if m:
+            kernel_s[nd] = float(m.group(1))
+        if spec.items_re:
+            mi = re.search(spec.items_re, alltext)
+            if mi:
+                items_n[nd] = int(mi.group(1))
         print(f"[{name} devices={nd}] "
               f"{'OK' if r.ok else r.state} wall={r.wall_s:.2f}s {timing}")
+
+    # scaling table: throughput per device count + parallel efficiency
+    # (the BASELINE.md north-star artifact: reads/s at 1 chip / 1 host
+    # / N hosts; the reference's analogue is the per-thread-count
+    # timing lines its regressions collect,
+    # chain/scripts/regression_small.sh:87-105)
+    if kernel_s:
+        base_nd = min(kernel_s)
+        base_t = kernel_s[base_nd]
+        cols = []
+        for nd in sorted(kernel_s):
+            t = kernel_s[nd]
+            cell = f"{nd}dev {t:.3f}s"
+            if nd in items_n and t > 0:
+                cell += f" {items_n[nd] / t:,.0f} {spec.items_unit}/s"
+            if nd != base_nd and t > 0:
+                sp = base_t / t
+                cell += (f" ({sp:.2f}x, eff "
+                         f"{100 * sp * base_nd / nd:.0f}%)")
+            cols.append(cell)
+        print(f"[{name}] scaling: " + " | ".join(cols))
 
     # determinism across device counts (the reference's thread sweep
     # doubles as this check)

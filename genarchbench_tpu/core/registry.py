@@ -20,6 +20,11 @@ class KernelSpec:
     description: str
     check_rule: str                # one of: exact | sorted | tolerant_abea | scalar
     timing_line: str               # greppable stderr timing-line prefix
+    # optional regex extracting the work-item count from the kernel's
+    # own output, for the regress sweep's items/s scaling table
+    # (BASELINE.md north-star metric: reads/s at 1 chip / 1 host / N)
+    items_re: Optional[str] = None
+    items_unit: str = "items"
 
 
 _REGISTRY: Dict[str, KernelSpec] = {}
@@ -64,10 +69,10 @@ _BUILTIN = [
      "Overall SW cycles"),
     ("wfa", "genarchbench_tpu.kernels.wfa",
      "gap-affine wavefront alignment", "sorted",
-     "Time.Alignment:"),
+     "Time.Alignment:", r"Total.reads: (\d+)", "pairs"),
     ("fmi", "genarchbench_tpu.kernels.fmi",
      "FM-index SMEM search (BWA-MEM2 seeding)", "exact",
-     "Computing time:"),
+     "Computing time:", r"numReads = (\d+)", "reads"),
     ("kmer-cnt", "genarchbench_tpu.kernels.kmer",
      "canonical k-mer counting (Flye)", "scalar",
      "Kernel time:"),
@@ -100,5 +105,6 @@ def _ensure_builtin() -> None:
     if _loaded:
         return
     _loaded = True
-    for name, module, desc, rule, tline in _BUILTIN:
-        register_kernel(KernelSpec(name, module, desc, rule, tline))
+    for name, module, desc, rule, tline, *items in _BUILTIN:
+        register_kernel(KernelSpec(name, module, desc, rule, tline,
+                                   *items))

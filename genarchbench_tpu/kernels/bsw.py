@@ -351,9 +351,15 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
               match: int = 1, mismatch: int = 4, ambig: int = -1,
               o_del: int = 6, e_del: int = 1, o_ins: int = 6, e_ins: int = 1,
               zdrop: int = 100, w: int = 100, end_bonus: int = 5,
-              mesh=None, backend: str = "auto") -> np.ndarray:
+              mesh=None, backend: str = "auto",
+              lanes: int = LANES) -> np.ndarray:
     """Scores for all pairs in input order, replicating the reference's
     batch -> sort-by-len1 -> groups-of-8 pipeline.
+
+    `lanes` is the reference's SIMD group width, which determines group
+    membership and hence the group-shared band: SIMD_WIDTH16 = 8 for
+    the int16 path (default), SIMD_WIDTH8 = 16 for the int8 path
+    (bandedSWA.h:79-80, SSE build) — see run()'s -i8 flag.
 
     Group membership (which determines the group-shared band, hence the
     scores) is formed per `batch_size` slice exactly like the reference's
@@ -365,7 +371,7 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
     _, mis, amb = fill_scmat(match, mismatch, ambig)
     scores = np.zeros(n, np.int32)
     if batch_size <= 0:
-        batch_size = ((n + LANES - 1) // LANES) * LANES
+        batch_size = ((n + lanes - 1) // lanes) * lanes
 
     all_len1 = np.fromiter((len(r) for r in pairs.refs), np.int32, n)
     all_len2 = np.fromiter((len(q) for q in pairs.quers), np.int32, n)
@@ -375,12 +381,12 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
     for b0 in range(0, n, batch_size):
         idx = np.arange(b0, min(b0 + batch_size, n))
         nb = len(idx)
-        pad = _round_up(nb, LANES) - nb
+        pad = _round_up(nb, lanes) - nb
         len1p = np.concatenate([all_len1[idx], np.zeros(pad, np.int32)])
         len2p = np.concatenate([all_len2[idx], np.zeros(pad, np.int32)])
         srcp = np.concatenate([idx, np.full(pad, -1)])
         order = np.argsort(len1p, kind="stable")                # counting sort
-        for members in order.reshape(-1, LANES):
+        for members in order.reshape(-1, lanes):
             r = _round_up(max(int(len1p[members].max()), 1), 64)
             c2 = _round_up(int(len2p[members].max()) + 1, 128)
             buckets[(r, c2)].append(srcp[members])
@@ -410,7 +416,7 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
         out = native.nib_fill_pack(flat, off, src.ravel().astype(np.int64),
                                    lens.ravel(), width, dummy)
         if out is not None:
-            return out.reshape(src.shape[0], LANES, width // 2)
+            return out.reshape(src.shape[0], lanes, width // 2)
         idx = off[safe][:, :, None] + np.arange(width)[None, None, :]
         vals = flat[np.minimum(idx, len(flat) - 1)]
         inb = valid[:, :, None] & (np.arange(width)[None, None, :]
@@ -438,7 +444,7 @@ def bsw_batch(pairs: BswPairs, batch_size: int = 512,
         Gp = pad_batch(src.shape[0], mesh)                     # data-parallel
         if Gp > src.shape[0]:                                  # pad groups
             src = np.concatenate(
-                [src, np.full((Gp - src.shape[0], LANES), -1)])
+                [src, np.full((Gp - src.shape[0], lanes), -1)])
         valid = src >= 0
         safe = np.where(valid, src, 0)
         L1 = np.where(valid, all_len1[safe], 0).astype(np.int32)
@@ -498,17 +504,40 @@ def run(argv: Sequence[str]) -> int:
     p.add_argument("-gapo", type=int, default=6)
     p.add_argument("-gape", type=int, default=1)
     p.add_argument("-ambig", type=int, default=-1)
+    p.add_argument("-i8", dest="i8", action="store_true",
+                   help="int8 kernel semantics (getScores8, "
+                        "bandedSWA.cpp:428+): SIMD_WIDTH8=16-lane "
+                        "grouping; inputs must fit the reference's "
+                        "8-bit row/column indices")
     args = p.parse_args(argv)
 
     from genarchbench_tpu.sharding.mesh import data_mesh
     pairs = read_bsw_pairs(args.pairs)
+    lanes = LANES
+    if args.i8:
+        # the reference int8 kernel walks rows/cols with int8_t
+        # counters and uint8 lengths (smithWaterman128_8,
+        # bandedSWA.cpp:5649+): sequences beyond 127 bases or scores
+        # reaching 128 would wrap there — refuse such inputs rather
+        # than diverge silently
+        lmax = max(max((len(r) for r in pairs.refs), default=0),
+                   max((len(q) for q in pairs.quers), default=0))
+        smax = max((int(h) for h in pairs.h0), default=0) \
+            + args.match * lmax
+        if lmax > 127 or smax > 127:
+            raise ValueError(
+                f"-i8: input exceeds the int8 kernel's range "
+                f"(max len {lmax}, score bound {smax}; both must be "
+                "<= 127)")
+        lanes = 16                     # SIMD_WIDTH8, SSE build
     print(f"Number of input pairs: {len(pairs)}")
     roi = ROITimer("bsw", "Overall SW cycles = 0, {t:.2f} s")
     with roi:
         scores = bsw_batch(pairs, batch_size=args.batch,
                            match=args.match, mismatch=args.mismatch,
                            ambig=args.ambig, o_del=args.gapo, e_del=args.gape,
-                           o_ins=args.gapo, e_ins=args.gape, mesh=data_mesh())
+                           o_ins=args.gapo, e_ins=args.gape, mesh=data_mesh(),
+                           lanes=lanes)
         roi.sync(scores)
     for i, s in enumerate(scores):
         print(f"[{i}] score={s}", file=sys.stderr)

@@ -486,12 +486,20 @@ def phase_hets(records, het_positions, het_alts, chrom_id: int):
     rel = [1] * n                  # phase of node relative to its parent
 
     def find(x):
-        if parent[x] == x:
-            return x, 1
-        root, r_ = find(parent[x])
-        parent[x] = root
-        rel[x] *= r_
-        return root, rel[x]
+        # iterative two-pass root-then-compress: a long phased het
+        # chain (thousands of hets in a 10 Mb region) built O(n)-deep
+        # trees under the recursive version and could hit the
+        # interpreter recursion limit
+        path = []
+        while parent[x] != x:
+            path.append(x)
+            x = parent[x]
+        sign = 1
+        for y in reversed(path):
+            sign *= rel[y]
+            parent[y] = x
+            rel[y] = sign
+        return x, (rel[path[0]] if path else 1)
 
     for (i, j), wij in sorted(w.items(),
                               key=lambda kv: (-abs(kv[1]), kv[0])):

@@ -54,3 +54,10 @@ HTS=$RB/htslib-1.9
 echo "oracles ready in $RB/"
 # ssw oracle (Clair3 realigner striped Smith-Waterman)
 [ -f $RB/ssw_ref ] || gcc -O2 -msse4.1 -I $REF/nn-variant/Clair3/preprocess/realign -o $RB/ssw_ref tests/oracles/ssw_harness.c $REF/nn-variant/Clair3/preprocess/realign/ssw.c
+# int8 kernel oracle: same driver with getScores16 -> getScores8
+# (main_banded.cpp only ever drives the 16-bit path; the 8-bit kernel
+# is a library capability, bandedSWA.cpp:428+)
+if [ ! -f $RB/bsw_ref_i8 ]; then
+  sed 's/getScores16/getScores8/' $REF/bsw/src/main_banded.cpp > $RB/main_banded_i8.cpp
+  g++ -O2 -fopenmp -msse4.1 -DENABLE_PREFETCH -DBWA_OTHER_ELE=0 -DSORT_PAIRS=1 -I $REF/bsw/src -o $RB/bsw_ref_i8 $RB/main_banded_i8.cpp $REF/bsw/src/bandedSWA.cpp
+fi

@@ -44,6 +44,25 @@ def test_regress_sweep_and_golden(tmp_path):
     assert rc == 0
 
 
+def test_regress_scaling_table(tmp_path, capsys):
+    """The device sweep emits the scaling artifact (BASELINE.md: items/s
+    per device count + parallel efficiency)."""
+    rng = np.random.default_rng(3)
+    inp = tmp_path / "pairs.txt"
+    inp.write_text(gen_seqpair_dataset(rng, n_pairs=12, length=50,
+                                       error_rate=0.1))
+    rc = cli.cmd_regress("wfa", ["-i", str(inp), "-o",
+                                 str(tmp_path / "o.txt")],
+                         golden=None, devices=[1, 2], platform="cpu",
+                         check_rule=None)
+    out = capsys.readouterr().out
+    assert rc == 0
+    line = next(ln for ln in out.splitlines()
+                if ln.startswith("[wfa] scaling:"))
+    assert "1dev" in line and "2dev" in line
+    assert "pairs/s" in line and "eff" in line
+
+
 def test_regress_detects_mismatch(tmp_path):
     rng = np.random.default_rng(2)
     inp = tmp_path / "pairs.txt"
