@@ -100,11 +100,6 @@ def _device_window_starts(x_hi, x_lo, n, mdx):
 
 
 @jax.jit
-def _ragged_take(parents, flat_idx):
-    return jnp.take(parents.ravel(), flat_idx)
-
-
-@jax.jit
 def _fast_chain_device(x_lo, x_hi, qi, span8, st, n, mdx, mdxy, bw,
                        avg_qspan):
     """Tile-structured fast-chain DP.
@@ -347,29 +342,20 @@ def fast_chain_batch(records: Sequence[chain_io.ChainRecord],
         dargs = shard_args(mesh, x_lo, x_hi, qi, span, st_pad, n, mdx,
                            mdxy, bw, avg)
         parents_d, scores_d = _fast_chain_device(*dargs)
-        # pull parents RAGGED (one device gather drops the padding):
-        # d2h is the slow direction of the link, and the padded (B, N)
-        # planes carried ~2x the real anchor count
-        if mesh is None or getattr(mesh, "size", 1) == 1:
-            flat_idx = np.flatnonzero(vmask.ravel()).astype(np.int32)
-            parents_d = _ragged_take(parents_d, jnp.asarray(flat_idx))
-        else:
-            vmask = None
         # start the transfer NOW; pulls of later plans overlap it
+        # (a ragged device-gather pull was tried and measured SLOWER:
+        # the host-side flatnonzero + masked re-pad cost more than the
+        # padded plane's extra d2h bytes)
         try:
             parents_d.copy_to_host_async()
         except AttributeError:
             pass
-        pending.append((plan, recs, n, avg, x_lo, qi, span, vmask,
+        pending.append((plan, recs, n, avg, x_lo, qi, span,
                         parents_d, scores_d))
 
-    for (plan, recs, n, avg, x_lo, qi, span, vmask,
+    for (plan, recs, n, avg, x_lo, qi, span,
          parents_d, scores_d) in pending:
-        if vmask is not None:
-            parents = np.full(vmask.shape, -1, np.int32)
-            parents[vmask] = np.asarray(parents_d)
-        else:
-            parents = np.asarray(parents_d).astype(np.int32)
+        parents = np.asarray(parents_d).astype(np.int32)
         scores = native.fast_chain_scores_native(
             n, avg, x_lo, qi, span, parents)
         if scores is None:                 # no C toolchain: pull wide
