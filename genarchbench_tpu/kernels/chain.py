@@ -48,6 +48,32 @@ def clin_table(avg_qspan: float, size: int) -> np.ndarray:
     return (dd * 0.01 * np.float64(np.float32(avg_qspan))).astype(np.int32)
 
 
+def _flat_decode(xs, ys):
+    """Decode concatenated u64 anchor arrays into the SoA planes in
+    ONE pass — the per-record ChainRecord property accesses (x_lo / qi
+    / q_span / sid) cost ~1 s of host time per 16k-record plan (each is
+    a fresh shift+mask+astype on a tiny array)."""
+    flat_x = np.concatenate(xs) if xs else np.zeros(0, np.uint64)
+    flat_y = np.concatenate(ys) if ys else np.zeros(0, np.uint64)
+    if sys.byteorder == "little":
+        x_lo = np.ascontiguousarray(
+            flat_x.view(np.uint32).reshape(-1, 2)[:, 0])
+        qi = np.ascontiguousarray(
+            flat_y.view(np.uint32).reshape(-1, 2)[:, 0]).view(np.int32)
+        yb = flat_y.view(np.uint8).reshape(-1, 8)
+        span = np.ascontiguousarray(yb[:, 4])
+        sid = np.ascontiguousarray(yb[:, 6])
+    else:
+        x_lo = (flat_x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        qi = (flat_y & np.uint64(0xFFFFFFFF)).astype(np.uint32) \
+            .view(np.int32)
+        span = ((flat_y >> np.uint64(32)) & np.uint64(0xFF)) \
+            .astype(np.uint8)
+        sid = ((flat_y >> np.uint64(48)) & np.uint64(0xFF)) \
+            .astype(np.uint8)
+    return x_lo, qi, span, sid
+
+
 # largest product magnitude for which the near-integer window below
 # (4e-3) provably covers every f32-vs-f64 truncation mismatch: the
 # two-op f32 product error is ~V*1.2e-7, so V <= 2^14 keeps it under
@@ -119,7 +145,11 @@ def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
     return corr_dd, corr_delta, over_rows
 
 
-CORR_K = 16
+# 4 slots cover p99.9 of records (bench distribution: median 0
+# corrections, p99 = 2; 21 of 16384 records exceed 4 and defer to the
+# exact-table path) — each slot costs THREE (B, W) ops per anchor step
+# in the windowed kernel, so slot count is hot-loop op count
+CORR_K = 4
 
 
 @partial(jax.jit, static_argnames=("with_heuristics", "use_table"))
@@ -621,13 +651,8 @@ def _chain_narrow_batch(records, idxs, widths, results,
         ws_list = chain_io.window_starts_all(recs, MAX_ITER)
         if M:
             starts = offs[:len(recs)][lens_p > 0]
-            all_x = np.concatenate([r.x_lo for r in recs if r.n])
-            all_q = np.concatenate(
-                [r.qi for r in recs if r.n]).astype(np.int32)
-            all_span = np.concatenate(
-                [r.q_span for r in recs if r.n]).astype(np.uint8)
-            all_sid = np.concatenate(
-                [r.sid for r in recs if r.n]).astype(np.uint8)
+            all_x, all_q, all_span, all_sid = _flat_decode(
+                [r.x for r in recs if r.n], [r.y for r in recs if r.n])
             flat_ws = np.concatenate(
                 [ws for ws in ws_list if len(ws)]).astype(np.int64)
             pos = np.arange(M, dtype=np.int64) \
@@ -735,14 +760,11 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
             wmaxs = np.zeros(nr, np.int64)
             wmaxs[nz] = np.maximum.reduceat(pos - flat_ws, starts)
             widths = [int(w) for w in wmaxs]
-            all_x = np.concatenate(
-                [records[k].x_lo for k in range(nr) if lens[k]])
-            all_q = np.concatenate(
-                [records[k].qi for k in range(nr) if lens[k]]
-            ).astype(np.int64)
-            all_sid = np.concatenate(
-                [records[k].sid for k in range(nr) if lens[k]]
-            ).astype(np.int64)
+            all_x, all_q8, _, all_sid8 = _flat_decode(
+                [records[k].x for k in range(nr) if lens[k]],
+                [records[k].y for k in range(nr) if lens[k]])
+            all_q = all_q8.astype(np.int64)
+            all_sid = all_sid8.astype(np.int64)
             dxg = np.zeros(len(all_x), np.int64)
             dxg[1:] = (all_x[1:] - all_x[:-1]).astype(np.uint32)
             dxg[starts] = 0
@@ -770,6 +792,12 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
         plan_idxs = [wide_idx[j] for j in plan.indices]
         recs = [records[k] for k in plan_idxs]
         B, N = pad_batch(plan.batch, mesh), plan.length
+        if _force_table:
+            # deferred exact-table batches are tiny and their COUNT
+            # varies run to run: floor the batch so the dense kernel
+            # compiles one (B, N) shape per length bucket instead of a
+            # fresh multi-minute compile per deferral count
+            B = max(B, pad_batch(128, mesh))
         t_size0 = int(max(max(r.max_dist_x, r.bw) for r in recs)) + 1
         if not _force_table:
             avg_r = np.array([np.float32(r.avg_qspan) for r in recs],
