@@ -845,7 +845,12 @@ class ConvexNWEngine:
                 f"poa: graph with {Rmax} ranks exceeds the 11-bit "
                 "row-index budget of the packed traceback planes")
         W1 = Wpad + 1
-        Gn = len(live)
+        # pad the group count to a 64-multiple: Gn enters the compiled
+        # shape, and specific raw counts hit an XLA tiling pathology
+        # (two Gn values of the SAME (R, W, P) bucket ran 4x slower
+        # than their neighbours on TPU); padding also bounds the
+        # compile count.  Pad lanes carry Wlen=0 and never walk.
+        Gn = _round_up_mult(len(live), 64)
 
         node_chs = np.full((Gn, Rpad), -2, np.int32)  # never matches seq
         seq_arrs = np.full((Gn, W1), -1, np.int32)    # col 0 + pads
