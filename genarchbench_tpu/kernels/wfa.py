@@ -672,10 +672,12 @@ def wfa_batch(pairs: SeqPairs, x: int = 4, o: int = 6, e: int = 2,
                         np.uint8(dummy))
 
     for (Lp, Lt), idxs in sorted(buckets.items()):
-        # bound HBM for the (B, Scap, D) backtrace stores: keep the
-        # initial-geometry footprint under ~256M cells (3 bytes each)
+        # bound HBM for the (B, Scap, D) backtrace stores.  The cap
+        # RESUMES double scap (and grow D), so budget for ~4x growth
+        # over the initial geometry: a 2^28-cell initial budget OOMed a
+        # 16 GB chip at 192-base pairs once lanes resumed to scap 256
         _, D0 = _geometry(Lp, Lt, scap0)
-        mb = max(256, min(max_batch, (1 << 28) // max(D0 * scap0, 1)))
+        mb = max(256, min(max_batch, (1 << 26) // max(D0 * scap0, 1)))
         scap_start = scap0     # learned: later chunks of the bucket
         for lo_i in range(0, len(idxs), mb):
             chunk = idxs[lo_i:lo_i + mb]
