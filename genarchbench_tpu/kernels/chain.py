@@ -74,6 +74,13 @@ def _flat_decode(xs, ys):
     return x_lo, qi, span, sid
 
 
+# 4 slots cover p99.9 of records (bench distribution: median 0
+# corrections, p99 = 2) — each slot costs THREE (B, W) ops per anchor
+# step in the windowed kernel, so slot count is hot-loop op count.
+# Records needing more slots (or with SAFE_PROD-unbounded products)
+# defer to the exact scalar C DP (native chain_dp_scalar).
+CORR_K = 4
+
 # largest product magnitude for which the near-integer window below
 # (4e-3) provably covers every f32-vs-f64 truncation mismatch: the
 # two-op f32 product error is ~V*1.2e-7, so V <= 2^14 keeps it under
@@ -82,7 +89,8 @@ def _flat_decode(xs, ys):
 SAFE_PROD = 16384.0
 
 
-def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
+def gap_corrections(avg32: np.ndarray, t_size: int, B: int,
+                    ck: int = CORR_K):
     """Per-record sparse corrections making the device's f32 gap cost
     bit-equal to the C f64 one: (corr_dd, corr_delta) (B, CORR_K) and
     the list of LOCAL row indices needing more than CORR_K slots
@@ -98,16 +106,16 @@ def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
     largest item in the chain ROI)."""
     from genarchbench_tpu import native
     nb = len(avg32)
-    res = native.chain_gap_corr_native(avg32, t_size, CORR_K, SAFE_PROD)
+    res = native.chain_gap_corr_native(avg32, t_size, ck, SAFE_PROD)
     if res is not None:
         cdd, cdel, over8 = res
-        corr_dd = np.full((B, CORR_K), -1, np.int32)
-        corr_delta = np.zeros((B, CORR_K), np.int32)
+        corr_dd = np.full((B, ck), -1, np.int32)
+        corr_delta = np.zeros((B, ck), np.int32)
         corr_dd[:nb] = cdd
         corr_delta[:nb] = cdel
         return corr_dd, corr_delta, list(np.nonzero(over8)[0].astype(int))
-    corr_dd = np.full((B, CORR_K), -1, np.int32)
-    corr_delta = np.zeros((B, CORR_K), np.int32)
+    corr_dd = np.full((B, ck), -1, np.int32)
+    corr_delta = np.zeros((B, ck), np.int32)
     t1 = np.arange(t_size, dtype=np.float64) * 0.01
     ddf = np.arange(t_size, dtype=np.float32) * np.float32(0.01)
     over_rows = list(np.nonzero(
@@ -137,19 +145,12 @@ def gap_corrections(avg32: np.ndarray, t_size: int, B: int):
                 continue
             m_ = rows == r_
             sel = cols[m_]
-            if len(sel) > CORR_K:
+            if len(sel) > ck:
                 over_rows.append(lo + int(r_))
                 continue
             corr_dd[lo + r_, :len(sel)] = sel
             corr_delta[lo + r_, :len(sel)] = delta[m_]
     return corr_dd, corr_delta, over_rows
-
-
-# 4 slots cover p99.9 of records (bench distribution: median 0
-# corrections, p99 = 2; 21 of 16384 records exceed 4 and defer to the
-# exact-table path) — each slot costs THREE (B, W) ops per anchor step
-# in the windowed kernel, so slot count is hot-loop op count
-CORR_K = 4
 
 
 @partial(jax.jit, static_argnames=("with_heuristics", "use_table"))
@@ -605,7 +606,7 @@ NARROW_WCAP = 224      # widest u8-encodable window bucket (multiples of 32)
 
 
 def _chain_narrow_batch(records, idxs, widths, results,
-                        with_heuristics) -> List[int]:
+                        with_heuristics, ck: int = CORR_K) -> List[int]:
     """Single-device path for narrow-window records: ONE giant batch
     per padded length (per-while-iteration cost on this TPU is FLAT in
     batch size — ~60 fused kernels x ~20 us each — so 16k lanes in one
@@ -621,11 +622,14 @@ def _chain_narrow_batch(records, idxs, widths, results,
     for plan in plans:
         plan_idxs = [idxs[j] for j in plan.indices]
         recs = [records[k] for k in plan_idxs]
-        B, N = plan.batch, plan.length
+        # floor B: deferral-retry batches are tiny and their count
+        # varies run to run; a stable shape avoids fresh compiles
+        B, N = max(plan.batch, 128), plan.length
         t_size0 = int(max(max(r.max_dist_x, r.bw) for r in recs)) + 1
         avg32 = np.zeros(B, np.float32)
         avg32[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
-        cdd, cdel, over = gap_corrections(avg32[:len(recs)], t_size0, B)
+        cdd, cdel, over = gap_corrections(avg32[:len(recs)], t_size0, B,
+                                          ck)
         if over:
             oset = set(over)
             deferred += [plan_idxs[i] for i in over]
@@ -635,10 +639,10 @@ def _chain_narrow_batch(records, idxs, widths, results,
             if not recs:
                 continue
             cdd = np.concatenate(
-                [cdd[keep], np.full((B - len(keep), CORR_K), -1,
+                [cdd[keep], np.full((B - len(keep), ck), -1,
                                     np.int32)])
             cdel = np.concatenate(
-                [cdel[keep], np.zeros((B - len(keep), CORR_K),
+                [cdel[keep], np.zeros((B - len(keep), ck),
                                       np.int32)])
             avg32 = np.zeros(B, np.float32)
             avg32[:len(recs)] = [np.float32(r.avg_qspan) for r in recs]
@@ -699,7 +703,7 @@ def _chain_narrow_batch(records, idxs, widths, results,
             u(nsegs), u(avg32), u(cdd), u(cdel),
             pad16(dx16), pad16(dq16), wssbuf.view(np.uint32)])
         delta_d, scores_d, peaks_d = _chain_win_ragged_blob(
-            jnp.asarray(blob), B=B, N=N, MP=MP, CK=CORR_K, W=W,
+            jnp.asarray(blob), B=B, N=N, MP=MP, CK=ck, W=W,
             with_heuristics=with_heuristics)
         try:
             delta_d.copy_to_host_async()
@@ -892,12 +896,20 @@ def chain_batch(records: Sequence[chain_io.ChainRecord],
             m = records[k].n
             results[k] = (scores[b, :m], parents[b, :m], peaks[b, :m])
     if deferred:
-        sub = chain_batch([records[k] for k in deferred],
-                          with_heuristics=with_heuristics,
-                          cell_budget=cell_budget, mesh=mesh,
-                          _force_table=True)
-        for k, res in zip(deferred, sub):
-            results[k] = res
+        # deferred = records whose f32 gap corrections cannot be
+        # bounded (SAFE_PROD) or exceeded the wide slot tier: a
+        # handful of records, microseconds of exact scalar DP in C —
+        # far below the device compile + dispatch of the dense
+        # exact-table batch (kept as the no-toolchain fallback)
+        from genarchbench_tpu import native
+        if not native.chain_dp_scalar_native(records, deferred,
+                                             with_heuristics, results):
+            sub = chain_batch([records[k] for k in deferred],
+                              with_heuristics=with_heuristics,
+                              cell_budget=cell_budget, mesh=mesh,
+                              _force_table=True)
+            for k, res in zip(deferred, sub):
+                results[k] = res
     return results
 
 

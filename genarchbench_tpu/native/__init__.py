@@ -144,6 +144,7 @@ def readers_lib() -> Optional[ctypes.CDLL]:
                                 ctypes.c_float, p64]
     lib.chain_window_starts.restype = None
     lib.wfa_cigars.restype = None
+    lib.chain_dp_scalar.restype = None
     lib.chain_window_starts.argtypes = [i64, p64, pu64, p64, i64, p32]
     vp = ctypes.c_void_p
     p16 = ctypes.POINTER(ctypes.c_int16)
@@ -600,3 +601,51 @@ def wfa_cigars_native(nmats, ops, gap_t, gap_v, fm, fd, fi, nsteps):
         out.ctypes.data_as(ctypes.c_char_p), ctypes.c_int64(stride),
         _as_ptr(outlen, ctypes.c_int32))
     return [out[b, :outlen[b]].tobytes().decode() for b in range(B)]
+
+
+def chain_dp_scalar_native(records, idxs, with_heuristics, results):
+    """Exact scalar chain DP for DEFERRED records (those whose sparse
+    f32 gap corrections cannot be bounded): fills results[k] for each
+    k in idxs and returns True, or False when the native library is
+    unavailable.  A handful of records at O(n * window) scalar cost is
+    microseconds — far below the device compile + dispatch the dense
+    exact-table fallback paid."""
+    import numpy as np
+    lib = readers_lib()
+    if lib is None:
+        return False
+    from genarchbench_tpu.io import chain_io
+    from genarchbench_tpu.kernels.chain import MAX_ITER, _flat_decode
+    recs = [records[k] for k in idxs]
+    ns = np.array([r.n for r in recs], np.int64)
+    offs = np.concatenate([[0], np.cumsum(ns)[:-1]]).astype(np.int64)
+    M = int(ns.sum())
+    x_lo, qi, span, sid = _flat_decode(
+        [r.x for r in recs if r.n], [r.y for r in recs if r.n])
+    st = np.zeros(M, np.int32)
+    for o, ws in zip(offs, chain_io.window_starts_all(recs, MAX_ITER)):
+        st[o:o + len(ws)] = ws
+    avg = np.array([r.avg_qspan for r in recs], np.float64)
+    mdx = np.array([r.max_dist_x for r in recs], np.int32)
+    mdy = np.array([r.max_dist_y for r in recs], np.int32)
+    bw = np.array([r.bw for r in recs], np.int32)
+    nsegs = np.array([r.n_segs for r in recs], np.int32)
+    scores = np.zeros(M, np.int32)
+    parents = np.zeros(M, np.int32)
+    peaks = np.zeros(M, np.int32)
+    lib.chain_dp_scalar(
+        ctypes.c_int64(len(recs)), _as_ptr(ns, ctypes.c_int64),
+        _as_ptr(offs, ctypes.c_int64), _as_ptr(avg, ctypes.c_double),
+        _as_ptr(mdx, ctypes.c_int32), _as_ptr(mdy, ctypes.c_int32),
+        _as_ptr(bw, ctypes.c_int32), _as_ptr(nsegs, ctypes.c_int32),
+        _as_ptr(x_lo, ctypes.c_uint32), _as_ptr(qi, ctypes.c_int32),
+        _as_ptr(span, ctypes.c_uint8), _as_ptr(sid, ctypes.c_uint8),
+        _as_ptr(st, ctypes.c_int32),
+        ctypes.c_int32(1 if with_heuristics else 0),
+        _as_ptr(scores, ctypes.c_int32), _as_ptr(parents, ctypes.c_int32),
+        _as_ptr(peaks, ctypes.c_int32))
+    for b, k in enumerate(idxs):
+        o, m = int(offs[b]), int(ns[b])
+        results[k] = (scores[o:o + m].copy(), parents[o:o + m].copy(),
+                      peaks[o:o + m].copy())
+    return True

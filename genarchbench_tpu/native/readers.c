@@ -837,3 +837,76 @@ void wfa_cigars(int64_t B, int64_t T, int64_t nsteps,
     free(rc);
     free(rch);
 }
+
+/* Full scalar chain DP with minimap2's skip heuristic — the exact
+ * semantics of the device kernels in kernels/chain.py (per-anchor
+ * descending window scan, strict sc > max_f largest-j ties, t[]-marker
+ * skip counting with MAX_SKIP=25, f64 gap cost), used for the rare
+ * records whose sparse f32 gap corrections cannot be bounded (deferred
+ * rows) so they never need a device compile.  Reference semantics:
+ * chain/src/host_kernel.cpp:50-93. */
+void chain_dp_scalar(int64_t B, const int64_t *ns, const int64_t *offs,
+                     const double *avg, const int32_t *mdx_a,
+                     const int32_t *mdy_a, const int32_t *bw_a,
+                     const int32_t *nsegs_a, const uint32_t *x_lo,
+                     const int32_t *qi, const uint8_t *span,
+                     const uint8_t *sid, const int32_t *st_flat,
+                     int32_t with_heur,
+                     int32_t *scores, int32_t *parents,
+                     int32_t *peaks) {
+    for (int64_t b = 0; b < B; b++) {
+        const uint32_t *xl = x_lo + offs[b];
+        const int32_t *q = qi + offs[b];
+        const uint8_t *sp = span + offs[b];
+        const uint8_t *sd = sid + offs[b];
+        const int32_t *st = st_flat + offs[b];
+        int32_t *sc = scores + offs[b];
+        int32_t *par = parents + offs[b];
+        int32_t *pk = peaks + offs[b];
+        int64_t n = ns[b];
+        double av = (double)(float)avg[b];
+        int32_t mdx = mdx_a[b], mdy = mdy_a[b], bw = bw_a[b];
+        int32_t nsegs = nsegs_a[b];
+        int32_t *t = (int32_t *)malloc((size_t)(n > 0 ? n : 1)
+                                       * sizeof(int32_t));
+        if (!t) return;
+        for (int64_t i = 0; i < n; i++) t[i] = -1;
+        for (int64_t i = 0; i < n; i++) {
+            int32_t max_f = sp[i], max_j = -1, nskip = 0;
+            for (int64_t j = i - 1; j >= st[i]; j--) {
+                int32_t dr = (int32_t)(xl[i] - xl[j]);
+                int32_t dq = q[i] - q[j];
+                int seq = sd[i] == sd[j];
+                if ((seq && dr == 0) || dq <= 0) continue;
+                if ((seq && dq > mdy) || dq > mdx) continue;
+                int32_t dd = dr - dq;
+                if (dd < 0) dd = -dd;
+                if (seq && dd > bw) continue;
+                if (nsegs > 1 && seq && dr > mdy) continue;
+                int32_t log_dd =
+                    dd ? 31 - __builtin_clz((uint32_t)dd) : 0;
+                int32_t clin = (int32_t)((double)dd * 0.01 * av);
+                int32_t gap, bonus = 0;
+                if (seq) gap = clin + (log_dd >> 1);
+                else if (dr == 0) { gap = 0; bonus = 1; }
+                else gap = clin < log_dd ? clin : log_dd;
+                int32_t s0 = dq < dr ? dq : dr;
+                if ((int32_t)sp[i] < s0) s0 = sp[i];
+                int32_t s = s0 + bonus - gap + sc[j];
+                if (s > max_f) {
+                    max_f = s;
+                    max_j = (int32_t)j;
+                    if (with_heur && nskip > 0) nskip--;
+                } else if (with_heur && t[j] == (int32_t)i) {
+                    if (++nskip > 25) break;
+                }
+                if (with_heur && par[j] >= 0) t[par[j]] = (int32_t)i;
+            }
+            sc[i] = max_f;
+            par[i] = max_j;
+            pk[i] = (max_j >= 0 && pk[max_j] > max_f) ? pk[max_j]
+                                                      : max_f;
+        }
+        free(t);
+    }
+}
