@@ -12,19 +12,30 @@ build_fm_index (:~200-400: reference = forward + reverse complement,
 sentinel-first suffix array, BWT char 4 at the sentinel row).
 
 TPU-first design:
-  * the per-read pointer-chasing search becomes a LOCKSTEP batch: all
-    reads advance one query position per step, and every backwardExt in
-    flight becomes a (batch,) or (batch, P) vector of table gathers +
-    popcounts — the TPU formulation of bwa-mem2's software-prefetch
-    batching.
+  * the per-read pointer-chasing search becomes LOCKSTEP batches — the
+    TPU formulation of bwa-mem2's software-prefetch batching — in
+    three decoupled stages: a PERSISTENT-LANE restart scan walks every
+    read's restart chain with (B,)-narrow state; the per-restart
+    backward SMEM searches then run as ONE flat (read, x0) item sweep
+    sorted by forward length; bwtSeedStrategy walks per-read rounds
+    with per-round column emissions.
   * the backward pass's sequential scan over the prev-interval stack is
-    vectorized over P: all P candidate extensions run at once, the
-    first-hit / dedup-by-s logic is reconstructed with masked argmax +
-    an associative "last eligible" scan.
-  * occ tables live in HBM as (ncp, 4) int32 counts + two uint32
-    one-hot words; popcounts use `lax.population_count`.
-  * index build is a host-side artifact step (SURVEY §5.4): suffix
-    array by prefix-doubling (np.lexsort), serialized as .npz.
+    vectorized over P and WIDTH-STAGED (full width only while a live
+    lane holds >4 entries, then sliced to 4 — gather cost is per-row):
+    first-hit / dedup-by-s logic uses masked argmax, hand-rolled shift
+    scans, and one-hot multiply-reduce compaction (take_along_axis and
+    lax scan primitives measured ~10x slower in loop bodies).
+  * per-ITEM emit caps and overflow retries at growing prev widths —
+    no whole-batch full-width reruns.
+  * occ tables live in HBM as packed u32 checkpoint rows (counts +
+    one-hot words; counts split lo/hi-word and row state int64 past
+    2^31 rows); both GET_OCC lookups of an extension ride one stacked
+    gather; popcounts use `lax.population_count`.  With
+    `shard_tables=True` the rows shard across the mesh and GET_OCC
+    assembles answers via all_gather + psum_scatter.
+  * index build is a host-side artifact step (SURVEY §5.4): linear
+    SA-IS in native C, chunked one-hot packing, serialized as .npz or
+    the byte-compatible bwa-mem2 `.bwt.2bit.64`.
 
 Row-index width follows the reference size: int32 for references under
 2^31 BWT rows, int64 beyond (the on-disk format carries up to 2^39-1
